@@ -1,0 +1,23 @@
+"""Test harness config (SURVEY.md §4.5).
+
+Tests run on a faked 8-device CPU mesh so the DP/sharding path is exercised
+without a pod: env vars must be set before jax initializes.
+"""
+
+import os
+import sys
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's TPU plugin ("axon") prepends itself to JAX_PLATFORMS, so
+# the env var alone cannot select CPU; the config update can (it must happen
+# before the backend initializes, i.e. before any jax array op).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
