@@ -1,0 +1,165 @@
+"""Typed nested config system (SURVEY.md component R6, §5.6).
+
+Dataclass tree with dotted CLI overrides (``--train.lr=2e-4``) and YAML-ish
+(JSON) load/dump. Every ablation in the reference's method space — LCC
+on/off (/root/reference/README.md:7), DCDP fusion on/off, n_scales, source
+frames — is a config knob so the eval harness can reproduce the figures'
+ablation style.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence, Tuple
+
+
+@dataclass
+class DataConfig:
+    """Dataset / input pipeline (components D1–D5)."""
+
+    data_root: str = ""
+    dataset: str = "synthetic"  # synthetic | frames | video
+    height: int = 256
+    width: int = 320
+    frame_offsets: Tuple[int, ...] = (-1, 1)  # source frames relative to target
+    batch_size: int = 12
+    num_workers: int = 4
+    shuffle_buffer: int = 512
+    augment: bool = True
+    # Color jitter ranges (Monodepth2 protocol: loss on clean frames).
+    brightness: float = 0.2
+    contrast: float = 0.2
+    saturation: float = 0.2
+    hue: float = 0.05
+    hflip: bool = True
+
+
+@dataclass
+class ModelConfig:
+    """DepthNet / PoseNet / DCDP fusion (components M1–M5)."""
+
+    num_layers: int = 18  # ResNet depth for the encoder: 18 | 34
+    n_scales: int = 4  # disparity output scales
+    # Colon-scale depth range (meters); colonoscopy working distance is cm.
+    min_depth: float = 0.01
+    max_depth: float = 1.0
+    pose_rotation_scale: float = 0.01  # family-standard axis-angle scaling
+    pose_translation_scale: float = 0.01
+    dcdp_fusion: bool = True  # DCDP coupling (README.md:7); off = plain PoseNet
+    fusion_channels: int = 64
+    # Compute dtype for conv stacks; params stay float32.
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class LossConfig:
+    """Loss suite (components L1–L6)."""
+
+    ssim_alpha: float = 0.85  # α·(1−SSIM)/2 + (1−α)·L1
+    smoothness_weight: float = 1e-3
+    geometric_weight: float = 0.1  # DCDP cross-frame consistency (L5)
+    lcc: bool = True  # light-consistent calibration (L1, README.md:7)
+    lcc_mode: str = "affine"  # affine | gain | off
+    lcc_window: int = 15  # low-frequency local window for the gain field
+    automask: bool = True  # identity-reprojection automasking (L3)
+    min_reprojection: bool = True  # per-pixel min over source frames (L3)
+
+
+@dataclass
+class TrainConfig:
+    """Optimization schedule (components R1–R2)."""
+
+    lr: float = 1e-4
+    lr_decay_epochs: int = 15  # step decay ×0.1 after this epoch (family std)
+    lr_decay_factor: float = 0.1
+    epochs: int = 20
+    seed: int = 42
+    grad_clip: float = 10.0
+    weight_decay: float = 0.0
+    log_every: int = 50
+    eval_every_epochs: int = 1
+    ckpt_every_steps: int = 1000
+    ckpt_dir: str = "checkpoints"
+    ckpt_keep: int = 3
+    max_bad_steps: int = 10  # NaN-loss abort guard (SURVEY.md §5.3)
+    profile_steps: str = ""  # "a:b" window for jax.profiler (SURVEY.md §5.1)
+    deterministic: bool = False
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh / parallelism (component R3, SURVEY.md §2.8: DP over ICI)."""
+
+    data_parallel: int = -1  # -1 = all local devices
+    axis_name: str = "data"
+
+
+@dataclass
+class EvalConfig:
+    """Evaluation protocol (components E1–E3)."""
+
+    depth_cap: float = 1.0  # clamp predictions/GT (family: 80 m on KITTI)
+    median_scaling: bool = True  # per-image median alignment (scale-ambiguous)
+    ate_alignment: str = "sim3"  # sim3 (Umeyama w/ scale) | se3
+
+
+@dataclass
+class ColvoConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    # ------------------------------------------------------------- serde
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=list)
+
+    @classmethod
+    def load(cls, path: str) -> "ColvoConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ColvoConfig":
+        cfg = cls()
+        for section, values in d.items():
+            sub = getattr(cfg, section)
+            for k, v in values.items():
+                if not hasattr(sub, k):
+                    raise KeyError(f"unknown config key {section}.{k}")
+                if isinstance(getattr(sub, k), tuple):
+                    v = tuple(v)
+                setattr(sub, k, v)
+        return cfg
+
+    def apply_overrides(self, overrides: Sequence[str]) -> "ColvoConfig":
+        """Apply dotted CLI overrides like ``train.lr=2e-4``.
+
+        Values parse as JSON when possible, else raw string.
+        """
+        for ov in overrides:
+            ov = ov.lstrip("-")
+            key, _, raw = ov.partition("=")
+            if not raw:
+                raise ValueError(f"override must be key=value: {ov!r}")
+            section_name, _, leaf = key.partition(".")
+            section = getattr(self, section_name)
+            if not hasattr(section, leaf):
+                raise KeyError(f"unknown config key {key}")
+            try:
+                val: Any = json.loads(raw)
+            except json.JSONDecodeError:
+                val = raw
+            if isinstance(getattr(section, leaf), tuple) and isinstance(val, list):
+                val = tuple(val)
+            setattr(section, leaf, val)
+        return self

@@ -1,0 +1,125 @@
+"""Photometric loss + LCC calibration (SURVEY.md components L1, L2).
+
+* ``ssim`` / ``photometric_error``: the family-standard
+  ``α·(1−SSIM)/2 + (1−α)·L1`` with α = 0.85, SSIM over 3×3 local windows
+  (Monodepth2 ``layers.py:SSIM`` behavioral equivalent; torch-golden tested).
+* ``lcc_calibrate``: the reference's Light Consistent Calibration —
+  "accounts for brightness variations by recalibrating the luminosity
+  values of adjacent frames" (/root/reference/README.md:7). The exact
+  formula is unspecified in the reference (SURVEY.md §7 hard part 2); the
+  behavioral contract implemented here is: applying a brightness/contrast
+  ramp to the source frame leaves the calibrated photometric loss ≈
+  unchanged (the LCC invariance test, SURVEY.md §4.3).
+
+Everything is windowed local statistics → depthwise avg-pools → fuses into
+a handful of XLA reduce-windows; the Pallas kernel K1 fuses this whole file
+with the warp.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _avg_pool_same(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Mean filter with SAME padding, NHWC, per-channel."""
+    one = jnp.ones((window, window, 1, 1), dtype=x.dtype)
+    c = x.shape[-1]
+    kernel = jnp.broadcast_to(one, (window, window, 1, c))
+    summed = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    # Normalize by the true window size at borders (matches reflect-free
+    # averaging closely enough for a loss; exact border handling is pinned
+    # by the torch-golden test using count normalization).
+    ones = jnp.ones(x.shape[:3] + (1,), dtype=x.dtype)
+    counts = jax.lax.conv_general_dilated(
+        ones,
+        jnp.ones((window, window, 1, 1), dtype=x.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return summed / counts
+
+
+def ssim(x: jnp.ndarray, y: jnp.ndarray, window: int = 3) -> jnp.ndarray:
+    """Per-pixel SSIM over local windows; returns (B, H, W, C) in [−1, 1].
+
+    Family constants C1 = 0.01², C2 = 0.03² (images in [0, 1]).
+    """
+    c1, c2 = 0.01**2, 0.03**2
+    mu_x = _avg_pool_same(x, window)
+    mu_y = _avg_pool_same(y, window)
+    sigma_x = _avg_pool_same(x * x, window) - mu_x * mu_x
+    sigma_y = _avg_pool_same(y * y, window) - mu_y * mu_y
+    sigma_xy = _avg_pool_same(x * y, window) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
+    return num / den
+
+
+def photometric_error(
+    pred: jnp.ndarray, target: jnp.ndarray, alpha: float = 0.85
+) -> jnp.ndarray:
+    """``α·(1−SSIM)/2 + (1−α)·L1`` per pixel, mean over channels → (B, H, W)."""
+    l1 = jnp.mean(jnp.abs(pred - target), axis=-1)
+    if alpha == 0.0:
+        return l1
+    s = jnp.mean(ssim(pred, target), axis=-1)
+    return alpha * 0.5 * (1.0 - s) + (1.0 - alpha) * l1
+
+
+def lcc_calibrate(
+    warped: jnp.ndarray,
+    target: jnp.ndarray,
+    mode: str = "affine",
+    window: int = 15,
+    clip: Tuple[float, float] = (0.5, 2.0),
+) -> jnp.ndarray:
+    """Light Consistent Calibration (L1 in SURVEY.md §2.4): recalibrate the
+    warped source frame's luminosity to the target before comparison.
+
+    In colonoscopy the light source moves with the camera, so the same
+    surface changes brightness between adjacent frames and biases raw
+    photometric losses (/root/reference/README.md:7). LCC estimates a
+    low-frequency luminance transform from local window statistics:
+
+    * ``gain``:   ``ŵ = g·w``      with ``g = μ_t / μ_w``
+    * ``affine``: ``ŵ = a·w + b``  with ``a = cov(w,t)/var(w)``,
+                  ``b = μ_t − a·μ_w``
+
+    The coefficients are **stop-gradiented**: the calibration adapts to the
+    current frames but provides no shortcut for the networks to game the
+    loss through brightness. Gain/contrast is clipped to ``clip`` so gross
+    misalignments (bad pose) cannot be "calibrated away" — LCC corrects
+    illumination, not geometry.
+    """
+    if mode == "off":
+        return warped
+    eps = 1e-4
+    mu_w = _avg_pool_same(warped, window)
+    mu_t = _avg_pool_same(target, window)
+    if mode == "gain":
+        g = mu_t / (mu_w + eps)
+        g = jnp.clip(g, clip[0], clip[1])
+        return jax.lax.stop_gradient(g) * warped
+    if mode == "affine":
+        var_w = _avg_pool_same(warped * warped, window) - mu_w * mu_w
+        cov = _avg_pool_same(warped * target, window) - mu_w * mu_t
+        a = cov / (var_w + eps)
+        a = jnp.clip(a, clip[0], clip[1])
+        b = mu_t - a * mu_w
+        a = jax.lax.stop_gradient(a)
+        b = jax.lax.stop_gradient(b)
+        return a * warped + b
+    raise ValueError(f"unknown lcc mode {mode!r}")

@@ -1,0 +1,79 @@
+"""Regularizer and consistency loss terms (SURVEY.md components L3–L5)."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def smoothness_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware, mean-normalized disparity smoothness (L4).
+
+    ``Σ |∂d̂| · exp(−|∂I|)`` with ``d̂ = d / mean(d)`` — the family standard
+    since SfMLearner (SURVEY.md §2.4 L4). disp (B, H, W, 1), img (B, H, W, 3).
+    """
+    mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+    norm_disp = disp / (mean_disp + 1e-7)
+
+    grad_x = jnp.abs(norm_disp[:, :, 1:] - norm_disp[:, :, :-1])
+    grad_y = jnp.abs(norm_disp[:, 1:, :] - norm_disp[:, :-1, :])
+
+    img_gx = jnp.mean(jnp.abs(img[:, :, 1:] - img[:, :, :-1]), axis=-1, keepdims=True)
+    img_gy = jnp.mean(jnp.abs(img[:, 1:, :] - img[:, :-1, :]), axis=-1, keepdims=True)
+
+    grad_x = grad_x * jnp.exp(-img_gx)
+    grad_y = grad_y * jnp.exp(-img_gy)
+    return jnp.mean(grad_x) + jnp.mean(grad_y)
+
+
+def geometry_consistency(
+    computed_depth: jnp.ndarray, sampled_depth: jnp.ndarray, valid: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DCDP cross-frame depth-consistency residual (L5).
+
+    ``diff = |D_computed − D_sampled| / (D_computed + D_sampled)`` on valid
+    pixels — the SC-Depth formulation the reference's "alignment of
+    geometric projections" claim pins to (/root/reference/README.md:7,
+    SURVEY.md §2.4 L5). Returns ``(loss_scalar, weight_mask)`` where
+    ``weight_mask = 1 − diff`` downweights inconsistent (dynamic/occluded)
+    pixels in the photometric loss.
+    """
+    diff = jnp.abs(computed_depth - sampled_depth) / (
+        computed_depth + sampled_depth + 1e-7
+    )
+    diff = jnp.clip(diff, 0.0, 1.0) * valid
+    loss = jnp.sum(diff) / (jnp.sum(valid) + 1e-7)
+    weight = (1.0 - diff) * valid
+    return loss, weight
+
+
+def min_reprojection(errors: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel min over source-frame errors (L3): (B, H, W, S) → (B, H, W).
+
+    Handles occlusion/out-of-view: each pixel is scored by the source that
+    explains it best (Monodepth2's key trick; the "baseline" row of
+    ``imgs/qualitativeresults.png``)."""
+    return jnp.min(errors, axis=-1)
+
+
+def automask(
+    warped_errors: jnp.ndarray, identity_errors: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stationary-pixel automasking (L3).
+
+    Pixels where the *unwarped* source already matches the target better
+    than the warped one (static camera, low parallax, moving-with-camera
+    content) are excluded. A tiny constant bias (1e-5) on the identity
+    errors breaks exact ties toward the warped branch deterministically
+    (the family adds random noise; determinism is a design goal here,
+    SURVEY.md §5.2).
+
+    Args:  both (B, H, W, S).
+    Returns: ``(combined_min_error, mask)`` — per-pixel min over the warped
+    errors and the float mask (1 = keep).
+    """
+    min_warped = jnp.min(warped_errors, axis=-1)
+    min_identity = jnp.min(identity_errors, axis=-1) + 1e-5
+    mask = (min_warped < min_identity).astype(min_warped.dtype)
+    return min_warped, mask

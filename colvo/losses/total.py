@@ -1,0 +1,185 @@
+"""Multi-scale total training loss (SURVEY.md component L6, call stack §3.1).
+
+Wires the whole DCDP+LCC objective over a snippet: for each scale and each
+source frame — disp→depth, backproject, SE(3), project, bilinear warp
+(G1–G4), LCC calibration (L1), SSIM+L1 (L2) — then min-reprojection +
+automask (L3), edge-aware smoothness (L4), and the geometric-consistency
+constraint (L5). Follows the Monodepth2 multi-scale protocol: every scale's
+disparity is upsampled to full resolution and the loss is computed at full
+resolution (SURVEY.md §2.4 L6).
+
+This pure-XLA implementation is the semantics contract for the fused
+Pallas kernel path (``colvo.kernels``), selected via ``use_pallas``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from colvo.config import LossConfig, ModelConfig
+from colvo.geometry import (
+    disp_to_depth,
+    transformation_from_parameters,
+    backproject,
+    project,
+    bilinear_sample,
+    reproject_depth,
+)
+from colvo.geometry.ops import _valid_mask
+from colvo.losses.photometric import lcc_calibrate, photometric_error
+from colvo.losses.terms import automask as automask_fn
+from colvo.losses.terms import geometry_consistency, smoothness_loss
+from colvo.models.depth_decoder import upsample_nearest
+
+
+def _upsample_to(disp: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Nearest-upsample a lower-scale disparity to full resolution."""
+    factor = height // disp.shape[1]
+    if factor == 1:
+        return disp
+    return upsample_nearest(disp, factor)
+
+
+def poses_to_transforms(
+    poses: jnp.ndarray, frame_offsets: Tuple[int, ...]
+) -> jnp.ndarray:
+    """(B, S, 6) raw pose params → (B, S, 4, 4) target→source transforms.
+
+    The network always sees (target, source) input order and its output is
+    interpreted directly as target→source — symmetric for past and future
+    sources. (Deviation from the family's temporal-order + invert trick,
+    chosen for SPMD simplicity; ablatable via training since direction is
+    learned, documented per SURVEY.md §7 hard part 6.)
+    """
+    del frame_offsets
+    aa, tr = poses[..., :3], poses[..., 3:]
+    return transformation_from_parameters(aa, tr)
+
+
+def snippet_loss(
+    disps: List[Dict[int, jnp.ndarray]],
+    poses: jnp.ndarray,
+    frames: jnp.ndarray,
+    k: jnp.ndarray,
+    k_inv: jnp.ndarray,
+    loss_cfg: LossConfig,
+    model_cfg: ModelConfig,
+    frames_clean: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total self-supervised loss over one snippet batch.
+
+    Args:
+        disps: per-frame multi-scale disparities from ``ColVOModel``
+            (index 0 = target frame).
+        poses: (B, S, 6) target→source pose params (S = n_frames − 1).
+        frames: (B, 1+S, H, W, 3) augmented network-input frames.
+        k / k_inv: (3, 3) intrinsics at full resolution.
+        frames_clean: un-jittered copies for the photometric comparison
+            (Monodepth2 protocol, SURVEY.md D4); defaults to ``frames``.
+
+    Returns:
+        (scalar loss, aux dict of per-term scalars + full-res depth).
+    """
+    if frames_clean is None:
+        frames_clean = frames
+    b, n_frames, height, width, _ = frames.shape
+    n_sources = n_frames - 1
+    tgt_clean = frames_clean[:, 0]
+
+    t_mats = poses_to_transforms(poses, ())  # (B, S, 4, 4)
+
+    # Identity (unwarped) errors for automasking — scale-independent.
+    if loss_cfg.automask:
+        identity_errors = jnp.stack(
+            [
+                photometric_error(frames_clean[:, s + 1], tgt_clean, loss_cfg.ssim_alpha)
+                for s in range(n_sources)
+            ],
+            axis=-1,
+        )
+
+    n_scales = model_cfg.n_scales
+    total = 0.0
+    aux: Dict[str, jnp.ndarray] = {}
+    photo_total = 0.0
+    smooth_total = 0.0
+    geo_total = 0.0
+    full_depth = None
+
+    for scale in range(n_scales):
+        disp_s = disps[0][scale]
+        disp_full = _upsample_to(disp_s, height, width)
+        _, depth = disp_to_depth(
+            disp_full[..., 0], model_cfg.min_depth, model_cfg.max_depth
+        )
+        if scale == 0:
+            full_depth = depth
+
+        cam_points = backproject(depth, k_inv)  # (B, H, W, 3)
+
+        warped_errors = []
+        geo_losses = []
+        geo_weights = []
+        for s in range(n_sources):
+            t_mat = t_mats[:, s]
+            pix, z = project(cam_points, k, t_mat)
+            warped = bilinear_sample(frames_clean[:, s + 1], pix)
+            valid = _valid_mask(pix, height, width) * (z > 0)
+
+            if loss_cfg.lcc and loss_cfg.lcc_mode != "off":
+                warped = lcc_calibrate(
+                    warped, tgt_clean, loss_cfg.lcc_mode, loss_cfg.lcc_window
+                )
+            err = photometric_error(warped, tgt_clean, loss_cfg.ssim_alpha)
+
+            if loss_cfg.geometric_weight > 0:
+                src_disp_full = _upsample_to(disps[s + 1][scale], height, width)
+                _, src_depth = disp_to_depth(
+                    src_disp_full[..., 0], model_cfg.min_depth, model_cfg.max_depth
+                )
+                computed, sampled, gvalid = reproject_depth(
+                    src_depth, depth, t_mat, k, k_inv
+                )
+                g_loss, g_weight = geometry_consistency(computed, sampled, gvalid * valid)
+                geo_losses.append(g_loss)
+                geo_weights.append(g_weight)
+                # Downweight photometrically where geometry disagrees
+                # (occlusion/dynamic) — the DCDP loss-level coupling.
+                err = err * g_weight + err * (1.0 - gvalid * valid)
+            warped_errors.append(err)
+
+        errors = jnp.stack(warped_errors, axis=-1)  # (B, H, W, S)
+        if loss_cfg.automask:
+            min_err, mask = automask_fn(errors, identity_errors)
+            photo = jnp.sum(min_err * mask) / (jnp.sum(mask) + 1e-7)
+        elif loss_cfg.min_reprojection:
+            photo = jnp.mean(jnp.min(errors, axis=-1))
+        else:
+            photo = jnp.mean(errors)
+
+        tgt_small = tgt_clean[:, :: 2**scale, :: 2**scale]
+        smooth = smoothness_loss(disp_s, tgt_small) / (2**scale)
+
+        photo_total = photo_total + photo
+        smooth_total = smooth_total + smooth
+        if geo_losses:
+            geo_total = geo_total + sum(geo_losses) / len(geo_losses)
+
+    photo_total = photo_total / n_scales
+    smooth_total = smooth_total / n_scales
+    geo_total = geo_total / n_scales if loss_cfg.geometric_weight > 0 else jnp.array(0.0)
+
+    total = (
+        photo_total
+        + loss_cfg.smoothness_weight * smooth_total
+        + loss_cfg.geometric_weight * geo_total
+    )
+    aux["loss/photometric"] = photo_total
+    aux["loss/smoothness"] = smooth_total
+    aux["loss/geometric"] = geo_total
+    aux["loss/total"] = total
+    aux["depth/full"] = full_depth
+    return total, aux

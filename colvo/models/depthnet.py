@@ -1,0 +1,101 @@
+"""DepthNet and the coupled ColVO snippet model (SURVEY.md M1–M5, M4).
+
+``DepthNet`` = encoder + decoder, single-frame disparity (BASELINE.json
+config 1). ``ColVOModel`` runs the full coupled forward over a snippet
+(target + source frames): per-frame depth, per-pair DCDP-fused pose — the
+one jitted graph the train step differentiates (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from colvo.config import ModelConfig
+from colvo.models.encoder import ResNetEncoder
+from colvo.models.depth_decoder import DepthDecoder
+from colvo.models.posenet import DCDPFusion, PoseDecoder
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+class DepthNet(nn.Module):
+    """Single-frame depth: image → multi-scale sigmoid disparity.
+
+    Returns ``(disps, bottleneck)`` where disps is {scale: (B,h,w,1)} and
+    bottleneck is the /32 encoder feature used by DCDP fusion.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray) -> Tuple[Dict[int, jnp.ndarray], jnp.ndarray]:
+        dt = _dtype(self.cfg)
+        feats = ResNetEncoder(self.cfg.num_layers, dtype=dt, name="encoder")(img)
+        disps = DepthDecoder(self.cfg.n_scales, dtype=dt, name="decoder")(feats)
+        return disps, feats[-1]
+
+
+class ColVOModel(nn.Module):
+    """Coupled depth+pose over a snippet — the DCDP forward.
+
+    Inputs: ``frames`` (B, n_frames, H, W, 3) with index 0 = target and
+    1.. = source frames (order matches ``frame_offsets`` in DataConfig).
+
+    Outputs:
+      * ``disps``: list over frames of {scale: disp} (all frames get depth —
+        source depths feed the geometric-consistency constraint, SURVEY.md G5)
+      * ``poses``: (B, n_sources, 6) raw (axisangle, translation) params,
+        target→source direction handled by the loss via ``invert`` for
+        temporally-previous sources (family convention).
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        dt = _dtype(self.cfg)
+        self.depth_net = DepthNet(self.cfg, name="depth")
+        self.pose_encoder = ResNetEncoder(self.cfg.num_layers, dtype=dt, name="pose_encoder")
+        if self.cfg.dcdp_fusion:
+            self.fusion = DCDPFusion(self.cfg.fusion_channels, dtype=dt, name="fusion")
+        self.pose_decoder = PoseDecoder(
+            self.cfg.pose_rotation_scale,
+            self.cfg.pose_translation_scale,
+            dtype=dt,
+            name="pose_decoder",
+        )
+
+    def depth(self, img: jnp.ndarray):
+        return self.depth_net(img)
+
+    def pose(
+        self, img_a: jnp.ndarray, img_b: jnp.ndarray, depth_feats: Sequence[jnp.ndarray] | None
+    ):
+        x = jnp.concatenate([img_a, img_b], axis=-1)
+        feats = self.pose_encoder(x)
+        bottleneck = feats[-1]
+        if self.cfg.dcdp_fusion and depth_feats is not None:
+            bottleneck = self.fusion(bottleneck, depth_feats)
+        return self.pose_decoder(bottleneck)
+
+    def __call__(self, frames: jnp.ndarray):
+        n_frames = frames.shape[1]
+        disps = []
+        bottlenecks = []
+        for i in range(n_frames):
+            d, b = self.depth_net(frames[:, i])
+            disps.append(d)
+            bottlenecks.append(b)
+
+        poses = []
+        for s in range(1, n_frames):
+            feats = [bottlenecks[0], bottlenecks[s]] if self.cfg.dcdp_fusion else None
+            # Family convention: temporal order into the pose encoder. The
+            # caller knows which sources are past frames (and inverts).
+            aa, tr = self.pose(frames[:, 0], frames[:, s], feats)
+            poses.append(jnp.concatenate([aa, tr], axis=-1))
+        return disps, jnp.stack(poses, axis=1)

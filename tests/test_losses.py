@@ -1,0 +1,190 @@
+"""Loss unit tests (SURVEY.md §4.3): torch-golden SSIM, the LCC invariance
+test, automask behavior on static scenes, end-to-end loss gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from colvo.config import LossConfig, ModelConfig
+from colvo.losses import (
+    ssim,
+    photometric_error,
+    lcc_calibrate,
+    smoothness_loss,
+    geometry_consistency,
+    automask,
+    snippet_loss,
+)
+
+RNG = np.random.default_rng(3)
+
+
+def rand_img(b=2, h=32, w=40, c=3):
+    return jnp.asarray(RNG.random((b, h, w, c)).astype(np.float32))
+
+
+# ---------------------------------------------------------------- SSIM
+
+
+def test_ssim_self_is_one():
+    x = rand_img()
+    s = ssim(x, x)
+    np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-4)
+
+
+def test_ssim_matches_torch_golden_interior():
+    """Monodepth2-style torch SSIM (3×3 avg pools) on interior pixels."""
+    import torch
+    import torch.nn.functional as F
+
+    x = RNG.random((2, 24, 28, 3)).astype(np.float32)
+    y = np.clip(x + 0.1 * RNG.normal(size=x.shape).astype(np.float32), 0, 1)
+
+    ours = np.asarray(ssim(jnp.asarray(x), jnp.asarray(y)))
+
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ty = torch.from_numpy(y).permute(0, 3, 1, 2)
+    # family SSIM: reflect pad 1 + 3x3 avg pool
+    pad = torch.nn.ReflectionPad2d(1)
+    pool = lambda t: F.avg_pool2d(pad(t), 3, 1)
+    mu_x, mu_y = pool(tx), pool(ty)
+    sx = pool(tx * tx) - mu_x**2
+    sy = pool(ty * ty) - mu_y**2
+    sxy = pool(tx * ty) - mu_x * mu_y
+    c1, c2 = 0.01**2, 0.03**2
+    ref = ((2 * mu_x * mu_y + c1) * (2 * sxy + c2)) / (
+        (mu_x**2 + mu_y**2 + c1) * (sx + sy + c2)
+    )
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    # padding differs (reflect vs normalized-same) → compare interior
+    np.testing.assert_allclose(ours[:, 1:-1, 1:-1], ref[:, 1:-1, 1:-1], atol=1e-4)
+
+
+def test_photometric_zero_for_identical():
+    x = rand_img()
+    e = photometric_error(x, x)
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------- LCC
+
+
+def test_lcc_invariance_to_brightness_ramp():
+    """THE behavioral test for README.md:7 (SURVEY.md §4.3): a synthetic
+    brightness/contrast ramp on the source must leave the LCC-calibrated
+    photometric loss ≈ unchanged."""
+    tgt = rand_img(1, 48, 64)
+    # smooth spatial gain ramp (moving light source) + offset
+    xs = np.linspace(0.7, 1.4, 64, dtype=np.float32)[None, None, :, None]
+    corrupted = jnp.clip(tgt * xs + 0.05, 0.0, 1.5)
+
+    base = float(jnp.mean(photometric_error(lcc_calibrate(tgt, tgt), tgt)))
+    cal = float(jnp.mean(photometric_error(lcc_calibrate(corrupted, tgt), tgt)))
+    raw = float(jnp.mean(photometric_error(corrupted, tgt)))
+    assert raw > 5 * max(cal, 1e-6), (raw, cal)
+    assert cal < base + 5e-3
+
+
+def test_lcc_does_not_fix_geometry():
+    """LCC must correct illumination, not hide misalignment: a spatially
+    shifted source should still score a large error after calibration."""
+    tgt = rand_img(1, 48, 64)
+    shifted = jnp.roll(tgt, 7, axis=2)
+    cal_err = float(jnp.mean(photometric_error(lcc_calibrate(shifted, tgt), tgt)))
+    aligned_err = float(jnp.mean(photometric_error(tgt, tgt)))
+    assert cal_err > 10 * (aligned_err + 1e-4)
+
+
+def test_lcc_gain_mode():
+    tgt = rand_img(1, 32, 32)
+    bright = tgt * 1.3
+    cal = lcc_calibrate(bright, tgt, mode="gain")
+    assert float(jnp.mean(jnp.abs(cal - tgt))) < float(jnp.mean(jnp.abs(bright - tgt)))
+
+
+def test_lcc_coeffs_are_stop_gradiented():
+    tgt = rand_img(1, 16, 16)
+
+    def f(src):
+        return jnp.sum(photometric_error(lcc_calibrate(src, tgt), tgt))
+
+    g = jax.grad(f)(tgt * 1.2)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ---------------------------------------------------------------- terms
+
+
+def test_smoothness_prefers_smooth_disp():
+    img = jnp.ones((1, 32, 32, 3)) * 0.5
+    smooth_disp = jnp.ones((1, 32, 32, 1)) * 0.5
+    noisy_disp = jnp.asarray(RNG.random((1, 32, 32, 1)).astype(np.float32))
+    assert float(smoothness_loss(smooth_disp, img)) < float(smoothness_loss(noisy_disp, img))
+
+
+def test_geometry_consistency_identity():
+    d = jnp.asarray(1.0 + RNG.random((1, 16, 16)).astype(np.float32))
+    loss, w = geometry_consistency(d, d, jnp.ones_like(d))
+    assert float(loss) < 1e-6
+    np.testing.assert_allclose(np.asarray(w), 1.0, atol=1e-5)
+
+
+def test_automask_static_scene():
+    """Static scene (source == target): identity error is 0, warped error
+    positive → all pixels masked out (SURVEY.md §4.3)."""
+    warped_err = jnp.full((1, 8, 8, 2), 0.3)
+    ident_err = jnp.zeros((1, 8, 8, 2))
+    _, mask = automask(warped_err, ident_err)
+    np.testing.assert_allclose(np.asarray(mask), 0.0)
+
+    # moving scene: warped better than identity → kept
+    _, mask2 = automask(ident_err, warped_err)
+    np.testing.assert_allclose(np.asarray(mask2), 1.0)
+
+
+# ---------------------------------------------------------------- total
+
+
+def _setup_snippet(h=32, w=32, b=1):
+    from colvo.models import ColVOModel
+
+    mcfg = ModelConfig(dtype="float32", n_scales=4)
+    model = ColVOModel(mcfg)
+    frames = jnp.asarray(RNG.random((b, 3, h, w, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), frames)
+    k = jnp.array([[0.58 * w, 0, w / 2], [0, 0.92 * h, h / 2], [0, 0, 1]], dtype=jnp.float32)
+    return model, params, frames, k, mcfg
+
+
+def test_snippet_loss_finite_and_grads_flow():
+    model, params, frames, k, mcfg = _setup_snippet()
+    lcfg = LossConfig()
+
+    def loss_fn(p):
+        disps, poses = model.apply(p, frames)
+        loss, aux = snippet_loss(
+            disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg
+        )
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    for name in ["loss/photometric", "loss/smoothness", "loss/geometric"]:
+        assert np.isfinite(float(aux[name])), name
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+    assert aux["depth/full"].shape == frames.shape[:1] + frames.shape[2:4]
+
+
+def test_snippet_loss_ablations_run():
+    model, params, frames, k, mcfg = _setup_snippet(32, 32)
+    disps, poses = model.apply(params, frames)
+    for lcfg in [
+        LossConfig(lcc=False, geometric_weight=0.0, automask=False),
+        LossConfig(lcc_mode="gain"),
+        LossConfig(automask=False, min_reprojection=True),
+        LossConfig(automask=False, min_reprojection=False),
+    ]:
+        loss, _ = snippet_loss(disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg)
+        assert np.isfinite(float(loss))
