@@ -1,0 +1,42 @@
+"""Pallas TPU kernel layer (SURVEY.md §2.7, components K1–K3).
+
+``bilinear_sample_fast`` picks the Pallas kernel on TPU and the pure-XLA
+fallback elsewhere (K3 contract: bit-tolerant parity, tests §4.6).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from colvo.geometry.ops import bilinear_sample as bilinear_sample_xla
+from colvo.kernels.sampler import bilinear_sample_pallas, LANES
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def bilinear_sample_fast(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling; Pallas on TPU, XLA fallback on CPU/GPU.
+
+    Gradients flow to ``coords`` only on the Pallas path (see
+    colvo.kernels.sampler docstring); use ``bilinear_sample_xla`` when the
+    source image itself needs a gradient (depth-map warps in the
+    geometric-consistency loss).
+    """
+    h, w = img.shape[1], img.shape[2]
+    if _on_tpu() and w >= LANES and h >= 8:
+        return bilinear_sample_pallas(img, coords)
+    return bilinear_sample_xla(img, coords)
+
+
+__all__ = [
+    "bilinear_sample_fast",
+    "bilinear_sample_pallas",
+    "bilinear_sample_xla",
+    "LANES",
+]

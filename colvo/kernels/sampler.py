@@ -1,0 +1,246 @@
+"""Pallas TPU bilinear-sampling kernel (SURVEY.md component K1, first stage).
+
+XLA's general gather lowering dominates the warp+loss path on TPU
+(measured: 29 ms of a 30 ms forward at B=12, 256×320 — the projection math
+is 1.9 ms and the fused loss 2.4 ms). This kernel replaces the four flat
+gathers of ``colvo.geometry.ops.bilinear_sample`` with a TPU-native scheme
+built on the one gather Mosaic supports natively: **lane-dimension
+(within-row) dynamic gather**.
+
+Mosaic's ``tpu.dynamic_gather`` is a **within-vreg** lane shuffle: it only
+compiles for 128-lane-wide operands (measured: W=128 compiles, 256/320/384
+fail). The kernel is therefore structured around (TILE_H, 128) output
+tiles, per (plane, row-tile, col-tile) grid cell:
+
+  * the full source plane (H, W) sits in VMEM (a 256×320 f32 plane is
+    320 KB — whole colonoscopy frames fit comfortably) and is fetched
+    once per plane (constant index_map across row/col tiles);
+  * the kernel computes the tile's referenced source-row span
+    [rmin, rmax] at runtime and loops **only over that span** with
+    ``fori_loop`` (dynamic trip count ≈ tile height + vertical
+    displacement, small for VO warps);
+  * for each source row r, the referenced source-column span (≤ 3×128
+    columns, rebased at min x0) is covered by a static 3-group loop:
+    each group does one 128-wide row read and two lane gathers with
+    group-rebased indices, exclusively masked by the index's true group
+    so clamped windows at the right border never double-count;
+  * horizontal lerp on the VPU, masked accumulation into the output rows
+    whose floor(y) or floor(y)+1 equals r (vertical lerp).
+
+The 3-group window bounds the per-tile horizontal source span at 384
+columns — ample for VO warps (a 128-px tile under forward colonoscope
+motion stretches by the depth ratio, far below 3×). ``span_groups`` is a
+parameter for extreme callers.
+
+Border-clamp semantics match the XLA fallback exactly (same clamping of
+x0/x1/y0/y1), pinned by the parity tests in tests/test_kernels.py
+(SURVEY.md §4.6).
+
+Gradient: the same loop accumulates the four bilinear partial products, so
+the kernel emits the **exact analytic** ∂out/∂x = (1−wy)(g1−g0)|y0 +
+wy(g1−g0)|y1 and ∂out/∂y = h|y1 − h|y0 alongside the forward value; the
+custom VJP contracts them with the cotangent. The source-image cotangent
+is a lane *scatter* (no native support); the training loss only
+differentiates image warps through coordinates (frames are data), so the
+VJP returns a zero source cotangent — sampling that needs source
+gradients (the geometric-consistency depth warp) uses the XLA fallback
+(see colvo/losses/total.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+DEFAULT_TILE_H = 32
+LANES = 128  # tpu.dynamic_gather operates within one 128-lane vreg
+SPAN_GROUPS = 3  # max horizontal source span per 128-wide tile, in vregs
+
+
+def _tile_body(hw_true, src_ref, x_ref, y_ref):
+    """Shared tile computation → (out, dx, dy), each (TILE_H, LANES).
+
+    Refs carry a leading singleton plane dim from the BlockSpecs.
+    ``hw_true`` is the unpadded source (H, W) — border clamp must not
+    select pad rows/lanes.
+    """
+    h_true, w_true = hw_true
+    w_src = src_ref.shape[2]
+    tile_h = x_ref.shape[1]
+
+    x = x_ref[0]
+    y = y_ref[0]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w_true - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w_true - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h_true - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h_true - 1)
+
+    rmin = jnp.min(y0)
+    rmax = jnp.max(y1)
+    # Lane-dim vector loads must start at a vreg boundary: align the
+    # rebased window down to a multiple of 128. (w_src is padded to a
+    # multiple of 128 by the wrapper for the same reason.)
+    cbase = (jnp.min(x0) // LANES) * LANES
+    # group id of each index relative to the aligned window
+    gidx0 = (x0 - cbase) // LANES
+    gidx1 = (x1 - cbase) // LANES
+
+    # Dynamic VMEM vector loads need sublane-aligned starts: walk the source
+    # rows in 8-row-aligned blocks (one aligned (8, 128) load per group per
+    # block) and statically unroll the 8 rows inside.
+    SUB = 8
+
+    def body(rb, carry):
+        ht, hb, dt, db = carry
+        r0 = pl.multiple_of(rb * SUB, SUB)
+        segs = []
+        for g in range(SPAN_GROUPS):  # static unroll
+            base = jnp.clip(cbase + g * LANES, 0, max(w_src - LANES, 0))
+            base = pl.multiple_of(base, LANES)
+            segs.append(src_ref[0, pl.ds(r0, SUB), pl.ds(base, LANES)])
+        for i in range(SUB):  # static unroll
+            r = r0 + i
+            g0 = jnp.zeros((tile_h, LANES), jnp.float32)
+            g1 = jnp.zeros((tile_h, LANES), jnp.float32)
+            for g in range(SPAN_GROUPS):
+                base = jnp.clip(cbase + g * LANES, 0, max(w_src - LANES, 0))
+                seg_b = jnp.broadcast_to(segs[g][i : i + 1], (tile_h, LANES))
+                # Exclusive group masks keep clamped right-border windows
+                # from double-counting; for selected lanes the rebased index
+                # is always in [0, LANES) (see module docstring).
+                loc0 = jnp.clip(x0 - base, 0, LANES - 1)
+                loc1 = jnp.clip(x1 - base, 0, LANES - 1)
+                v0 = jnp.take_along_axis(seg_b, loc0, axis=1)
+                v1 = jnp.take_along_axis(seg_b, loc1, axis=1)
+                g0 = g0 + jnp.where(gidx0 == g, v0, 0.0)
+                g1 = g1 + jnp.where(gidx1 == g, v1, 0.0)
+            hval = g0 + wx * (g1 - g0)  # horizontal lerp at source row r
+            dval = g1 - g0  # ∂hval/∂x within the cell
+            is_t = y0 == r
+            is_b = y1 == r
+            ht = ht + jnp.where(is_t, hval, 0.0)
+            hb = hb + jnp.where(is_b, hval, 0.0)
+            dt = dt + jnp.where(is_t, dval, 0.0)
+            db = db + jnp.where(is_b, dval, 0.0)
+        return ht, hb, dt, db
+
+    zeros = jnp.zeros((tile_h, LANES), jnp.float32)
+    ht, hb, dt, db = jax.lax.fori_loop(
+        rmin // SUB, rmax // SUB + 1, body, (zeros, zeros, zeros, zeros)
+    )
+    out = ht + wy * (hb - ht)
+    dx = dt + wy * (db - dt)
+    dy = hb - ht
+    return out, dx, dy
+
+
+def _sample_kernel(hw_true, src_ref, x_ref, y_ref, out_ref):
+    out, _, _ = _tile_body(hw_true, src_ref, x_ref, y_ref)
+    out_ref[0] = out
+
+
+def _sample_grad_kernel(hw_true, src_ref, x_ref, y_ref, out_ref, dx_ref, dy_ref):
+    out, dx, dy = _tile_body(hw_true, src_ref, x_ref, y_ref)
+    out_ref[0] = out
+    dx_ref[0] = dx
+    dy_ref[0] = dy
+
+
+def _plane_call(src, x, y, tile_h, with_grads, hw_true):
+    n, h_src, w_src = src.shape
+    _, h_out, w_out = x.shape
+    grid = (n, pl.cdiv(h_out, tile_h), pl.cdiv(w_out, LANES))
+    tile_spec = pl.BlockSpec((1, tile_h, LANES), lambda i, j, k: (i, j, k),
+                             memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((n, h_out, w_out), jnp.float32)
+    kwargs = dict(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h_src, w_src), lambda i, j, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tile_spec,
+            tile_spec,
+        ],
+    )
+    if with_grads:
+        return pl.pallas_call(
+            functools.partial(_sample_grad_kernel, hw_true),
+            out_specs=(tile_spec, tile_spec, tile_spec),
+            out_shape=(out_sds, out_sds, out_sds),
+            **kwargs,
+        )(src, x, y)
+    return pl.pallas_call(
+        functools.partial(_sample_kernel, hw_true),
+        out_specs=tile_spec, out_shape=out_sds, **kwargs
+    )(src, x, y)
+
+
+def _to_planes(img, coords):
+    """(B,H,W,C) + (B,h,w,2) → planes (B·C,H,W_pad) and per-plane coords.
+
+    Pads W up to a multiple of 128 (vreg-aligned lane loads). Indices are
+    clamped to the true W before padding, so pad values are never selected.
+    """
+    b, h, w, c = img.shape
+    _, ho, wo, _ = coords.shape
+    planes = jnp.transpose(img, (0, 3, 1, 2)).reshape(b * c, h, w)
+    w_pad = (w + LANES - 1) // LANES * LANES
+    h_pad = (h + 7) // 8 * 8  # 8-row-aligned block loads in the kernel
+    if w_pad != w or h_pad != h:
+        planes = jnp.pad(planes, ((0, 0), (0, h_pad - h), (0, w_pad - w)))
+    if c > 1:
+        x = jnp.repeat(coords[..., 0], c, axis=0)
+        y = jnp.repeat(coords[..., 1], c, axis=0)
+    else:
+        x, y = coords[..., 0], coords[..., 1]
+    return planes.astype(jnp.float32), x, y, (b, c, ho, wo)
+
+
+def _from_planes(out, shape):
+    b, c, ho, wo = shape
+    return jnp.transpose(out.reshape(b, c, ho, wo), (0, 2, 3, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bilinear_sample_pallas(
+    img: jnp.ndarray, coords: jnp.ndarray, tile_h: int = DEFAULT_TILE_H
+) -> jnp.ndarray:
+    """Drop-in Pallas replacement for ``geometry.ops.bilinear_sample``.
+
+    img (B, H, W, C) float32; coords (B, h, w, 2) pixel-space (x, y).
+    Border padding; gradients flow to ``coords`` only (see module note).
+    """
+    planes, x, y, shape = _to_planes(img, coords)
+    out = _plane_call(planes, x, y, tile_h, False, img.shape[1:3])
+    return _from_planes(out, shape)
+
+
+def _fwd(img, coords, tile_h):
+    planes, x, y, shape = _to_planes(img, coords)
+    out, dx, dy = _plane_call(planes, x, y, tile_h, True, img.shape[1:3])
+    return _from_planes(out, shape), (
+        _from_planes(dx, shape),
+        _from_planes(dy, shape),
+        img,
+    )
+
+
+def _bwd(tile_h, res, g):
+    dx, dy, img = res
+    gx = jnp.sum(g * dx, axis=-1)
+    gy = jnp.sum(g * dy, axis=-1)
+    d_coords = jnp.stack([gx, gy], axis=-1)
+    return jnp.zeros_like(img), d_coords
+
+
+bilinear_sample_pallas.defvjp(_fwd, _bwd)

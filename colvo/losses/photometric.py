@@ -25,30 +25,37 @@ import jax
 import jax.numpy as jnp
 
 
+def _box_sum_1d(x: jnp.ndarray, window: int, axis: int) -> jnp.ndarray:
+    """SAME-padded 1-D box sum via prefix sums: O(1) adds per pixel.
+
+    ``box[i] = cs[i+w] − cs[i]`` over a zero-padded cumulative sum — two
+    adds per output regardless of window size, and it lowers to plain
+    adds/slices (fast on both TPU VPU and the CPU test backend, unlike
+    reduce_window or wide depthwise convs)."""
+    n = x.shape[axis]
+    lo = (window - 1) // 2
+    hi = window - 1 - lo
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (lo + 1, hi)  # +1 for the leading zero of the prefix sum
+    padded = jnp.pad(x, pad)
+    cs = jnp.cumsum(padded, axis=axis)
+    top = jax.lax.slice_in_dim(cs, window, window + n, axis=axis)
+    bot = jax.lax.slice_in_dim(cs, 0, n, axis=axis)
+    return top - bot
+
+
 def _avg_pool_same(x: jnp.ndarray, window: int) -> jnp.ndarray:
-    """Mean filter with SAME padding, NHWC, per-channel."""
-    one = jnp.ones((window, window, 1, 1), dtype=x.dtype)
-    c = x.shape[-1]
-    kernel = jnp.broadcast_to(one, (window, window, 1, c))
-    summed = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
-    # Normalize by the true window size at borders (matches reflect-free
-    # averaging closely enough for a loss; exact border handling is pinned
-    # by the torch-golden test using count normalization).
-    ones = jnp.ones(x.shape[:3] + (1,), dtype=x.dtype)
-    counts = jax.lax.conv_general_dilated(
-        ones,
-        jnp.ones((window, window, 1, 1), dtype=x.dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    """Mean filter with SAME padding, NHWC, per-channel.
+
+    Separable two-pass box sums (2·window adds/px instead of a window²
+    depthwise conv — the 2-D depthwise conv lowering is ~7× slower on TPU,
+    measured in /tmp/profile_warp.py). Border pixels normalize by the true
+    window overlap; the count plane is input-independent so XLA
+    constant-folds it.
+    """
+    summed = _box_sum_1d(_box_sum_1d(x, window, 1), window, 2)
+    ones = jnp.ones((1,) + x.shape[1:3] + (1,), dtype=x.dtype)
+    counts = _box_sum_1d(_box_sum_1d(ones, window, 1), window, 2)
     return summed / counts
 
 

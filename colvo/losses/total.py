@@ -29,6 +29,7 @@ from colvo.geometry import (
     reproject_depth,
 )
 from colvo.geometry.ops import _valid_mask
+from colvo.kernels import bilinear_sample_fast
 from colvo.losses.photometric import lcc_calibrate, photometric_error
 from colvo.losses.terms import automask as automask_fn
 from colvo.losses.terms import geometry_consistency, smoothness_loss
@@ -126,7 +127,9 @@ def snippet_loss(
         for s in range(n_sources):
             t_mat = t_mats[:, s]
             pix, z = project(cam_points, k, t_mat)
-            warped = bilinear_sample(frames_clean[:, s + 1], pix)
+            # Pallas sampler on TPU: frames are data (no source gradient
+            # needed); gradients flow through `pix` into depth and pose.
+            warped = bilinear_sample_fast(frames_clean[:, s + 1], pix)
             valid = _valid_mask(pix, height, width) * (z > 0)
 
             if loss_cfg.lcc and loss_cfg.lcc_mode != "off":

@@ -1,0 +1,198 @@
+"""High-level pipelines (SURVEY.md §1 pipelines layer, §2.6).
+
+Orchestration glue between models/losses/data and the CLI: training,
+depth/pose inference, full-sequence VO, reconstruction, evaluation, and
+figure generation (BASELINE.json configs 1–5). Each function is callable
+from Python or via ``python -m colvo.cli``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from colvo.config import ColvoConfig
+from colvo.data import (
+    SnippetDataset,
+    open_source,
+    render_sequence,
+    synthetic_dataset,
+)
+from colvo.runtime import (
+    InferenceRunner,
+    TrainState,
+    export_params,
+    load_params,
+    init_state,
+    train as train_loop,
+)
+from colvo.vo import (
+    PolypDetection,
+    VOResult,
+    localize_polyps,
+    run_vo,
+    stitch_pointclouds,
+    save_ply,
+)
+from colvo.evaluation import (
+    compute_depth_errors,
+    evaluate_depth,
+    evaluate_pose,
+    viz_depth_grid,
+    viz_recon,
+    viz_trajectory,
+)
+
+
+def build_dataset(cfg: ColvoConfig) -> SnippetDataset:
+    """Dataset factory: synthetic renders or frame dirs/videos under
+    ``data_root`` (one sequence per subdir/file)."""
+    if cfg.data.dataset == "synthetic":
+        return synthetic_dataset(cfg.data)
+    root = cfg.data.data_root
+    if not root:
+        raise ValueError("data.data_root required for non-synthetic datasets")
+    from colvo.data.synthetic import render_sequence as _rs  # for K default
+    from colvo.data.intrinsics import Intrinsics
+
+    seqs, ks = [], []
+    entries = sorted(os.listdir(root))
+    for e in entries:
+        path = os.path.join(root, e)
+        src = open_source(path, cfg.data.width, cfg.data.height)
+        frames = np.stack(list(src))
+        seqs.append(frames)
+        k_file = os.path.join(path, "K.txt") if os.path.isdir(path) else None
+        if k_file and os.path.exists(k_file):
+            ks.append(np.loadtxt(k_file, dtype=np.float32))
+        else:
+            # default colonoscope K at this resolution
+            ks.append(
+                np.array(
+                    [[0.6 * cfg.data.width, 0, cfg.data.width / 2],
+                     [0, 0.6 * cfg.data.width, cfg.data.height / 2],
+                     [0, 0, 1]],
+                    dtype=np.float32,
+                )
+            )
+    return SnippetDataset(seqs, ks, cfg.data.frame_offsets)
+
+
+def train(cfg: ColvoConfig, log_dir: str = "runs/train", max_steps: Optional[int] = None,
+          resume: bool = False):
+    """BASELINE.json config 4: full DCDP+LCC training."""
+    dataset = build_dataset(cfg)
+    return train_loop(cfg, dataset, log_dir=log_dir, max_steps=max_steps, resume=resume)
+
+
+def make_runner(cfg: ColvoConfig, weights: Optional[str] = None) -> InferenceRunner:
+    """Build an inference runner from exported weights (or fresh init)."""
+    if weights:
+        params = load_params(weights)
+    else:
+        import jax
+
+        _, state = init_state(cfg, jax.random.key(cfg.train.seed))
+        params = state.params
+    return InferenceRunner(cfg, params)
+
+
+def infer_depth(cfg: ColvoConfig, frames_path: str, out_dir: str,
+                weights: Optional[str] = None) -> np.ndarray:
+    """Config 1: depth maps (+ colormapped PNGs) for a frame dir/video."""
+    from colvo.evaluation.viz import colormap_depth
+    import imageio.v2 as imageio
+
+    runner = make_runner(cfg, weights)
+    src = open_source(frames_path, cfg.data.width, cfg.data.height)
+    os.makedirs(out_dir, exist_ok=True)
+    depths = []
+    for i, frame in enumerate(src):
+        depth, _ = runner.infer_depth(frame[None])
+        depths.append(depth[0])
+        imageio.imwrite(
+            os.path.join(out_dir, f"depth_{i:06d}.png"),
+            (colormap_depth(depth[0]) * 255).astype(np.uint8),
+        )
+    np.save(os.path.join(out_dir, "depths.npy"), np.stack(depths))
+    return np.stack(depths)
+
+
+def run_vo_pipeline(
+    cfg: ColvoConfig,
+    frames_path: Optional[str] = None,
+    out_dir: str = "runs/vo",
+    weights: Optional[str] = None,
+    reconstruct: bool = True,
+) -> VOResult:
+    """Config 5: streamed VO → trajectory (+ stitched reconstruction PLY)."""
+    os.makedirs(out_dir, exist_ok=True)
+    runner = make_runner(cfg, weights)
+    if frames_path is None:  # synthetic demo sequence
+        seq = render_sequence(n_frames=48, height=cfg.data.height, width=cfg.data.width)
+        frames = list(seq.frames)
+        k = seq.k
+    else:
+        src = open_source(frames_path, cfg.data.width, cfg.data.height)
+        frames = list(src)
+        k = np.array(
+            [[0.6 * cfg.data.width, 0, cfg.data.width / 2],
+             [0, 0.6 * cfg.data.width, cfg.data.height / 2],
+             [0, 0, 1]], dtype=np.float32)
+    vo = run_vo(runner, frames, keyframe_every=2)
+    np.save(os.path.join(out_dir, "trajectory.npy"), vo.poses)
+    if reconstruct:
+        cloud = stitch_pointclouds(vo, k, frames=frames, voxel=0.002,
+                                   max_depth=cfg.model.max_depth)
+        save_ply(cloud, os.path.join(out_dir, "reconstruction.ply"))
+        viz_recon(cloud.points, os.path.join(out_dir, "reconstruction.png"),
+                  colors=cloud.colors, trajectory=vo.poses[:, :3, 3])
+    viz_trajectory({"ColVO(ours)": vo.poses[:, :3, 3]},
+                   os.path.join(out_dir, "trajectory.png"))
+    return vo
+
+
+def evaluate_synthetic(
+    cfg: ColvoConfig,
+    weights: Optional[str] = None,
+    out_dir: str = "runs/eval",
+    n_frames: int = 48,
+) -> Dict[str, float]:
+    """Full evaluation on a held-out rendered sequence: depth metrics, ATE,
+    reconstruction + the three reference figure types (call stack §3.4)."""
+    os.makedirs(out_dir, exist_ok=True)
+    runner = make_runner(cfg, weights)
+    seq = render_sequence(
+        n_frames=n_frames, height=cfg.data.height, width=cfg.data.width, seed=999
+    )
+    # depth
+    depth_metrics, preds = evaluate_depth(runner, seq.frames, seq.depths, cfg)
+    viz_depth_grid(
+        seq.frames[0], seq.depths[0], {"ColVO(ours)": preds[0]},
+        os.path.join(out_dir, "qualitative_depth.png"),
+        max_depth=cfg.eval.depth_cap,
+    )
+    # pose
+    vo = run_vo(runner, list(seq.frames), keyframe_every=2)
+    pose_metrics = evaluate_pose(vo.poses, seq.poses.astype(np.float64))
+    from colvo.vo import align_trajectory
+
+    aligned = align_trajectory(vo.poses[:, :3, 3], seq.poses[:, :3, 3])
+    viz_trajectory(
+        {"Ground Truth": seq.poses[:, :3, 3], "ColVO(ours)": aligned},
+        os.path.join(out_dir, "trajectory_predictions.png"),
+    )
+    # reconstruction
+    cloud = stitch_pointclouds(vo, seq.k, frames=list(seq.frames), voxel=0.002,
+                               max_depth=cfg.model.max_depth)
+    save_ply(cloud, os.path.join(out_dir, "reconstruction.ply"))
+    viz_recon(cloud.points, os.path.join(out_dir, "colon_reconstruction.png"),
+              colors=cloud.colors, trajectory=vo.poses[:, :3, 3])
+    metrics = {**depth_metrics, **pose_metrics}
+    import json
+
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics

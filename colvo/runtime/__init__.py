@@ -1,0 +1,45 @@
+"""Training & inference runtime (SURVEY.md §2.5, components R1–R7)."""
+
+from colvo.runtime.train_step import (
+    TrainState,
+    init_state,
+    make_optimizer,
+    make_train_step,
+)
+from colvo.runtime.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    replicate_tree,
+)
+from colvo.runtime.checkpoint import (
+    CheckpointManager,
+    export_params,
+    load_params,
+    fold_batchnorm,
+    torch_conv_to_hwio,
+)
+from colvo.runtime.metrics import MetricsWriter
+from colvo.runtime.loop import train
+from colvo.runtime.infer import InferenceRunner
+
+__all__ = [
+    "TrainState",
+    "init_state",
+    "make_optimizer",
+    "make_train_step",
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate_tree",
+    "CheckpointManager",
+    "export_params",
+    "load_params",
+    "fold_batchnorm",
+    "torch_conv_to_hwio",
+    "MetricsWriter",
+    "train",
+    "InferenceRunner",
+]

@@ -1,0 +1,101 @@
+"""Checkpointing (SURVEY.md component R4, §5.4).
+
+Orbax ``CheckpointManager``: async save of {params, opt_state, step} with a
+keep-N policy and resume; plus an inference-only export and a torch→jax
+weight importer for family-format checkpoints (the reference distributes
+trained weights, /root/reference/README.md:17 — a portable weight format is
+part of the capability surface).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+import orbax.checkpoint as ocp
+
+from colvo.runtime.train_step import TrainState
+
+
+class CheckpointManager:
+    """Thin wrapper around orbax CheckpointManager for TrainState trees."""
+
+    def __init__(self, directory: str, keep: int = 3, save_interval_steps: int = 1):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep, save_interval_steps=save_interval_steps
+        )
+        self._mgr = ocp.CheckpointManager(directory, options=options)
+
+    def save(self, step: int, state: TrainState) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state._asdict()))
+
+    def restore(self, state_like: TrainState, step: Optional[int] = None) -> Tuple[TrainState, int]:
+        """Restore the latest (or given) step into the structure of
+        ``state_like``. Returns (state, step)."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_like._asdict())
+        )
+        return TrainState(**restored), step
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def export_params(params: Any, path: str) -> None:
+    """Export inference-only weights as a flat .npz (portable, no Orbax
+    needed to load — the README.md:17 'distributable weights' analog)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_params(path: str) -> Any:
+    """Load a .npz exported by :func:`export_params` back into a pytree."""
+    import flax
+
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    return flax.traverse_util.unflatten_dict(flat, sep="/")
+
+
+# --------------------------------------------------------------- torch import
+
+
+def fold_batchnorm(
+    conv_w: np.ndarray, bn_gamma, bn_beta, bn_mean, bn_var, eps: float = 1e-5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold BatchNorm statistics into the preceding conv (SURVEY.md M1 note).
+
+    Our TPU model is norm-stateless (GroupNorm); family torchvision encoders
+    use Conv→BN. For weight import, BN folds exactly into the conv:
+    ``w' = w·γ/√(σ²+ε)`` (per out-channel), ``b' = β − γ·μ/√(σ²+ε)``.
+
+    Args:
+        conv_w: (kh, kw, cin, cout) HWIO conv kernel.
+    Returns:
+        (folded_w, folded_b).
+    """
+    scale = bn_gamma / np.sqrt(bn_var + eps)
+    w = conv_w * scale[None, None, None, :]
+    b = bn_beta - bn_mean * scale
+    return w.astype(conv_w.dtype), b.astype(conv_w.dtype)
+
+
+def torch_conv_to_hwio(w: np.ndarray) -> np.ndarray:
+    """torch OIHW conv weight → flax HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))

@@ -1,0 +1,126 @@
+"""Training loop (SURVEY.md component R2, call stack §3.1).
+
+Epochs over the snippet dataset with device prefetch, periodic checkpoint,
+metrics, the NaN-abort guard (§5.3), the profiler window (§5.1), and DP
+placement over the mesh (R3).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from colvo.config import ColvoConfig
+from colvo.data import SnippetDataset, batch_iterator, prefetch_to_device
+from colvo.runtime.checkpoint import CheckpointManager
+from colvo.runtime.mesh import batch_sharding, make_mesh, replicate_tree
+from colvo.runtime.metrics import MetricsWriter
+from colvo.runtime.train_step import TrainState, init_state, make_optimizer, make_train_step
+
+
+def train(
+    cfg: ColvoConfig,
+    dataset: SnippetDataset,
+    log_dir: str = "runs/train",
+    max_steps: Optional[int] = None,
+    eval_hook: Optional[Callable[[int, TrainState], None]] = None,
+    resume: bool = False,
+):
+    """Full training entry (BASELINE.json config 4). Returns final state."""
+    steps_per_epoch = max(1, len(dataset) // cfg.data.batch_size)
+    total_steps = (
+        max_steps if max_steps is not None else steps_per_epoch * cfg.train.epochs
+    )
+
+    rng = jax.random.key(cfg.train.seed)
+    model, state = init_state(cfg, rng, steps_per_epoch)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    step_fn = make_train_step(model, tx, cfg)
+
+    mesh = make_mesh(cfg.mesh)
+    if mesh.devices.size > 1:
+        state = TrainState(
+            replicate_tree(state.params, mesh),
+            replicate_tree(state.opt_state, mesh),
+            state.step,
+        )
+        sharding = batch_sharding(mesh, cfg.mesh.axis_name)
+    else:
+        sharding = None
+
+    ckpt = CheckpointManager(
+        cfg.train.ckpt_dir, keep=cfg.train.ckpt_keep,
+        save_interval_steps=cfg.train.ckpt_every_steps,
+    )
+    start_step = 0
+    if resume and ckpt.latest_step() is not None:
+        state, start_step = ckpt.restore(state)
+        print(f"resumed from step {start_step}")
+
+    writer = MetricsWriter(log_dir)
+
+    profile_window = None
+    if cfg.train.profile_steps:
+        a, _, b = cfg.train.profile_steps.partition(":")
+        profile_window = (int(a), int(b))
+
+    batches = batch_iterator(dataset, cfg.data, seed=cfg.train.seed)
+    # Skip already-consumed batches on resume (grain-style iterator restore).
+    for _ in range(start_step % steps_per_epoch):
+        next(batches)
+
+    def shard(b):
+        if sharding is None:
+            return b
+        from colvo.runtime.mesh import shard_batch
+
+        return shard_batch(b, mesh, cfg.mesh.axis_name)
+
+    stream = prefetch_to_device(map(shard, batches) if sharding else batches, size=2)
+
+    bad_steps = 0
+    t_last = time.time()
+    step = start_step
+    for batch in stream:
+        if step >= total_steps:
+            break
+        if profile_window and step == profile_window[0]:
+            jax.profiler.start_trace(log_dir)
+        state, metrics = step_fn(state, batch)
+        step += 1
+
+        if profile_window and step == profile_window[1]:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+
+        if step % cfg.train.log_every == 0 or step == total_steps:
+            loss = float(metrics["loss/total"])
+            if not np.isfinite(loss):
+                bad_steps += 1
+                if bad_steps >= cfg.train.max_bad_steps:
+                    raise RuntimeError(
+                        f"aborting: {bad_steps} consecutive non-finite losses"
+                    )
+            else:
+                bad_steps = 0
+            now = time.time()
+            sps = cfg.train.log_every / max(now - t_last, 1e-9)
+            t_last = now
+            writer.log_scalars(
+                step,
+                {**{k: v for k, v in metrics.items()}, "steps_per_sec": sps,
+                 "fps": sps * cfg.data.batch_size},
+            )
+
+        if step % cfg.train.ckpt_every_steps == 0 or step == total_steps:
+            ckpt.save(step, jax.tree.map(np.asarray, state))
+
+        if eval_hook is not None and step % (steps_per_epoch * cfg.train.eval_every_epochs) == 0:
+            eval_hook(step, state)
+
+    ckpt.wait()
+    writer.close()
+    return model, state

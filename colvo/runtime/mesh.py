@@ -1,0 +1,62 @@
+"""Device mesh / data-parallel runtime (SURVEY.md component R3, §5.8).
+
+The TPU-native equivalent of the family's NCCL/DDP: a 1-D device mesh over
+ICI, batch sharded on the ``data`` axis, params replicated. Gradients are
+all-reduced by XLA-inserted collectives (``psum`` in the lowered HLO) —
+no transport code to write; the deliverable is this mesh/sharding layer
+and its tests (SURVEY.md §4.5). Multi-host SPMD extends the same program
+via ``jax.distributed.initialize`` with XLA routing inter-slice traffic
+over DCN automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from colvo.config import MeshConfig
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the slice's chips (ICI-connected)."""
+    cfg = cfg or MeshConfig()
+    if devices is None:
+        devices = jax.devices()
+    n = cfg.data_parallel if cfg.data_parallel > 0 else len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested DP={n} but only {len(devices)} devices")
+    return Mesh(np.array(devices[:n]), (cfg.axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (params, opt state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Place a host batch dict on the mesh: arrays with a leading batch dim
+    shard over ``data``; scalars/small arrays (e.g. K) replicate."""
+    bs = batch_sharding(mesh, axis_name)
+    rep = replicated(mesh)
+
+    def place(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % mesh.devices.size == 0 and x.shape[0] > 1:
+            return jax.device_put(x, bs)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, batch)
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params/opt state) across the mesh."""
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)

@@ -1,0 +1,95 @@
+"""Jitted train step (SURVEY.md component R1, call stack §3.1).
+
+One XLA program per step: coupled DCDP forward over the snippet batch →
+total loss (LCC + SSIM/L1 + smoothness + geometric consistency) →
+``jax.grad`` → global-norm clip → Adam update. Donated state, bf16 conv
+compute with fp32 params/optimizer (BASELINE.json config 4).
+
+Data parallelism: the same jitted function runs SPMD over the mesh —
+batch arrays arrive sharded on the ``data`` axis, params replicated, and
+XLA inserts the gradient all-reduce over ICI (SURVEY.md §5.8). Use
+``jax.checkpoint`` (remat) on the per-scale loss to bound memory across
+the 8 warp+loss evaluations per step (SURVEY.md §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from colvo.config import ColvoConfig
+from colvo.losses import snippet_loss
+from colvo.models import ColVOModel
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: ColvoConfig, steps_per_epoch: int = 1000) -> optax.GradientTransformation:
+    """Adam + global-norm clipping + family-standard step-decay schedule."""
+    decay_step = cfg.train.lr_decay_epochs * steps_per_epoch
+    schedule = optax.piecewise_constant_schedule(
+        init_value=cfg.train.lr,
+        boundaries_and_scales={decay_step: cfg.train.lr_decay_factor},
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adamw(schedule, weight_decay=cfg.train.weight_decay)
+        if cfg.train.weight_decay > 0
+        else optax.adam(schedule),
+    )
+    return tx
+
+
+def init_state(
+    cfg: ColvoConfig, rng: jax.Array, steps_per_epoch: int = 1000
+) -> Tuple[ColVOModel, TrainState]:
+    """Build the model and a fresh TrainState."""
+    model = ColVOModel(cfg.model)
+    n_frames = 1 + len(cfg.data.frame_offsets)
+    dummy = jnp.zeros((1, n_frames, cfg.data.height, cfg.data.width, 3), jnp.float32)
+    params = jax.jit(model.init)(rng, dummy)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    opt_state = tx.init(params)
+    return model, TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model: ColVOModel, tx: optax.GradientTransformation, cfg: ColvoConfig):
+    """Build the jitted step: (state, batch) → (state, metrics).
+
+    ``batch`` = {frames, frames_clean, k}: frames (B, F, H, W, 3), k (3, 3).
+    """
+
+    def loss_fn(params, batch):
+        disps, poses = model.apply(params, batch["frames"])
+        k = batch["k"]
+        loss, aux = snippet_loss(
+            disps,
+            poses,
+            batch["frames"],
+            k,
+            jnp.linalg.inv(k),
+            cfg.loss,
+            cfg.model,
+            frames_clean=batch.get("frames_clean"),
+        )
+        aux.pop("depth/full", None)  # metrics only; keep the step output small
+        return loss, aux
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(aux)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
