@@ -25,6 +25,7 @@ class DataConfig:
     width: int = 320
     frame_offsets: Tuple[int, ...] = (-1, 1)  # source frames relative to target
     batch_size: int = 12
+    loader: str = "numpy"  # numpy | grain (checkpointable iterator state)
     num_workers: int = 4
     shuffle_buffer: int = 512
     augment: bool = True

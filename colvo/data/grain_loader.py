@@ -1,0 +1,92 @@
+"""grain-backed input pipeline (SURVEY.md component D2, §5.3 iterator state).
+
+Multi-worker, checkpointable loader over :class:`SnippetDataset` with the
+same batch contract as ``batch_iterator`` ({frames, frames_clean, k}).
+grain owns worker processes and per-record determinism (seeded sampler);
+its iterator state serializes, giving exact input-pipeline resume on
+restart (SURVEY.md §5.3 "grain restores iterator state").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+import grain.python as gp
+
+from colvo.config import DataConfig
+from colvo.data.augment import augment_snippet
+from colvo.data.snippets import SnippetDataset
+
+
+class _SnippetSource(gp.RandomAccessDataSource):
+    """grain random-access view of a SnippetDataset (frames + K)."""
+
+    def __init__(self, dataset: SnippetDataset):
+        self._ds = dataset
+
+    def __len__(self) -> int:
+        return len(self._ds)
+
+    def __getitem__(self, idx):
+        s = self._ds[int(idx)]
+        return {"frames": s.frames, "k": s.k}
+
+
+class _AugmentBatch(gp.RandomMapTransform):
+    """Per-batch augmentation with grain-provided RNG (deterministic)."""
+
+    def __init__(self, cfg: DataConfig):
+        self._cfg = cfg
+
+    def random_map(self, batch, rng: np.random.Generator):
+        frames = batch["frames"]
+        if self._cfg.augment:
+            aug, clean = augment_snippet(frames, self._cfg, rng)
+        else:
+            aug = clean = frames
+        return {"frames": aug, "frames_clean": clean, "k": batch["k"][0]}
+
+
+def grain_loader(
+    dataset: SnippetDataset,
+    cfg: DataConfig,
+    seed: int = 0,
+    num_epochs: Optional[int] = None,
+    worker_count: Optional[int] = None,
+):
+    """Build a grain DataLoader yielding the standard batch dict.
+
+    The returned loader's iterator supports ``get_state``/``set_state``
+    (via grain's PyGrainCheckpointHandler) for exact resume.
+    """
+    source = _SnippetSource(dataset)
+    sampler = gp.IndexSampler(
+        num_records=len(source),
+        shard_options=gp.ShardByJaxProcess(drop_remainder=True),
+        shuffle=True,
+        num_epochs=num_epochs,
+        seed=seed,
+    )
+    # Default to in-process: snippet sources are in-memory arrays (decode
+    # happens upfront), so worker processes only add IPC copies — and forked
+    # workers re-initialize the TPU plugin in this environment.
+    workers = 0 if worker_count is None else worker_count
+    return gp.DataLoader(
+        data_source=source,
+        sampler=sampler,
+        operations=[
+            gp.Batch(batch_size=cfg.batch_size, drop_remainder=True),
+            _AugmentBatch(cfg),
+        ],
+        worker_count=workers,
+    )
+
+
+def grain_batch_iterator(
+    dataset: SnippetDataset, cfg: DataConfig, seed: int = 0,
+    num_epochs: Optional[int] = None,
+) -> Iterator[dict]:
+    """Iterator facade matching ``batch_iterator``'s contract."""
+    return iter(grain_loader(dataset, cfg, seed, num_epochs))

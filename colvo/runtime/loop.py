@@ -67,7 +67,12 @@ def train(
         a, _, b = cfg.train.profile_steps.partition(":")
         profile_window = (int(a), int(b))
 
-    batches = batch_iterator(dataset, cfg.data, seed=cfg.train.seed)
+    if cfg.data.loader == "grain":
+        from colvo.data.grain_loader import grain_batch_iterator
+
+        batches = grain_batch_iterator(dataset, cfg.data, seed=cfg.train.seed)
+    else:
+        batches = batch_iterator(dataset, cfg.data, seed=cfg.train.seed)
     # Skip already-consumed batches on resume (grain-style iterator restore).
     for _ in range(start_step % steps_per_epoch):
         next(batches)
