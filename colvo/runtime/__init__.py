@@ -5,6 +5,7 @@ from colvo.runtime.train_step import (
     init_state,
     make_optimizer,
     make_train_step,
+    make_scan_train,
 )
 from colvo.runtime.mesh import (
     make_mesh,
@@ -29,6 +30,7 @@ __all__ = [
     "init_state",
     "make_optimizer",
     "make_train_step",
+    "make_scan_train",
     "make_mesh",
     "batch_sharding",
     "replicated",

@@ -1,0 +1,103 @@
+"""Device-resident snippet store tests (SURVEY.md D5, TPU-native form)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from colvo.config import DataConfig
+from colvo.data import SnippetDataset, render_sequence
+from colvo.data.device_store import DeviceSnippetStore, device_augment
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return render_sequence(n_frames=12, height=64, width=64)
+
+
+def _cfg(**kw):
+    return DataConfig(height=64, width=64, batch_size=4, **kw)
+
+
+def test_store_matches_host_dataset(seq):
+    """Device gather must yield the same snippets as the host SnippetDataset
+    (up to uint8 quantization)."""
+    cfg = _cfg(augment=False)
+    host = SnippetDataset([seq.frames], [seq.k], cfg.frame_offsets)
+    store = DeviceSnippetStore([seq.frames], [seq.k], cfg.frame_offsets)
+    assert store.n_snippets == len(host)
+    batch = next(store.batches(cfg, seed=0, epochs=1))
+    assert batch["frames"].shape == (4, 3, 64, 64, 3)
+    # find which snippet each batch row is by matching the target frame
+    for row in range(4):
+        got = np.asarray(batch["frames"][row])
+        errs = [
+            np.abs(got - host[i].frames).max() for i in range(len(host))
+        ]
+        assert min(errs) <= 1.0 / 255.0 + 1e-6  # uint8 roundtrip
+
+
+def test_store_epoch_count(seq):
+    cfg = _cfg(augment=False)
+    store = DeviceSnippetStore([seq.frames], [seq.k], cfg.frame_offsets)
+    n = sum(1 for _ in store.batches(cfg, seed=0, epochs=2))
+    assert n == 2 * (store.n_snippets // cfg.batch_size)
+
+
+def test_store_augment_contract(seq):
+    cfg = _cfg(augment=True)
+    store = DeviceSnippetStore([seq.frames], [seq.k], cfg.frame_offsets)
+    b = next(store.batches(cfg, seed=0, epochs=1))
+    aug = np.asarray(b["frames"])
+    clean = np.asarray(b["frames_clean"])
+    assert not np.allclose(aug, clean)
+    assert aug.min() >= 0 and aug.max() <= 1
+    # jitter identical across the snippet's frames: per-frame mean shifts equal
+    shift = (aug - clean)[0].reshape(3, -1).mean(axis=1)
+    assert np.ptp(shift) < 0.02
+
+
+def test_device_augment_flip_shared_and_clean():
+    cfg = _cfg(brightness=0, contrast=0, saturation=0, hue=0, hflip=True)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.random((8, 2, 16, 16, 3)).astype(np.float32))
+    aug, clean = device_augment(frames, jax.random.key(1), cfg)
+    np.testing.assert_array_equal(np.asarray(aug), np.asarray(clean))
+    flipped = [
+        not np.array_equal(np.asarray(clean[i]), np.asarray(frames[i]))
+        for i in range(8)
+    ]
+    assert any(flipped) and not all(flipped)
+
+
+def test_store_rejects_mismatched_k(seq):
+    k2 = seq.k.copy()
+    k2[0, 0] *= 2
+    with pytest.raises(ValueError):
+        DeviceSnippetStore([seq.frames, seq.frames], [seq.k, k2])
+
+
+def test_scan_train_chunk_runs_and_learns(seq):
+    """K-step scan training chunk: finite, steps counted, loss drops."""
+    from colvo.config import ColvoConfig
+    from colvo.runtime import init_state, make_optimizer, make_scan_train
+
+    cfg = ColvoConfig()
+    cfg.model.dtype = "float32"
+    cfg.model.n_scales = 2
+    cfg.data.height = cfg.data.width = 64
+    cfg.data.batch_size = 2
+    cfg.data.frame_offsets = (1,)
+    cfg.train.lr = 1e-3
+
+    store = DeviceSnippetStore([np.asarray(seq.frames)], [seq.k], cfg.data.frame_offsets)
+    model, state = init_state(cfg, jax.random.key(0))
+    tx = make_optimizer(cfg)
+    chunk_fn = make_scan_train(model, tx, cfg, n_steps=8)
+    state, metrics = chunk_fn(state, store.frames, store.table, store.k, jax.random.key(1))
+    losses = np.asarray(metrics["loss/total"])
+    assert losses.shape == (8,)
+    assert np.all(np.isfinite(losses))
+    assert int(state.step) == 8
+    state, metrics2 = chunk_fn(state, store.frames, store.table, store.k, jax.random.key(2))
+    assert np.asarray(metrics2["loss/total"]).mean() < losses.mean()
