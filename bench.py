@@ -1,11 +1,16 @@
-"""Benchmark: coupled depth+pose inference throughput on one TPU chip.
+"""Benchmark: end-to-end streaming VO (coupled depth+pose) on one TPU chip.
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "fps/chip", "vs_baseline": N}``
 
-The north-star target is >30 coupled depth+pose fps/chip on colonoscopy
-video (BASELINE.json; the reference publishes no speed numbers, so
-``vs_baseline`` is value/30 — multiples of the real-time target).
+Measures the config-5 hot path exactly as the framework runs it in
+production: uint8 frames stream from host in chunks, are normalized on
+device, every frame gets a dense depth map and every consecutive pair a
+DCDP-fused 6-DoF pose (colvo/vo/stream.py), and relative poses are chained
+into the global trajectory on host. The north-star target is >30 coupled
+depth+pose fps/chip (BASELINE.json; the reference publishes no speed
+numbers, so ``vs_baseline`` is value/30 — multiples of the real-time
+target).
 """
 
 import json
@@ -22,35 +27,35 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from colvo.config import ColvoConfig
     from colvo.runtime import init_state
     from colvo.runtime.infer import InferenceRunner
+    from colvo.vo import run_vo
 
     cfg = ColvoConfig()  # production bf16, 256×320
     _, state = init_state(cfg, jax.random.key(0))
     runner = InferenceRunner(cfg, state.params)
 
     h, w = cfg.data.height, cfg.data.width
-    batch = 8  # VO pairs in flight (streamed window batching)
+    chunk = 32
     rng = np.random.default_rng(0)
-    img_a = rng.random((batch, h, w, 3), dtype=np.float32)
-    img_b = rng.random((batch, h, w, 3), dtype=np.float32)
+    frames = rng.integers(0, 256, (8 * chunk + 1, h, w, 3), dtype=np.uint8)
 
-    # warmup/compile
-    out = runner.infer_coupled(img_a, img_b)
-    # timed: steady-state coupled depth+pose (the config-5 VO hot path)
-    iters = 30
-    t0 = time.time()
-    for _ in range(iters):
-        out = runner._coupled_fn(runner.params, img_a, img_b)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
-    fps = batch / dt
+    # warmup/compile (init fn + chunk fn; memoized on the runner)
+    run_vo(runner, frames[: chunk + 1], chunk_size=chunk)
+
+    # best-of-3 damps the host↔device link's stochastic stalls
+    fps = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        vo = run_vo(runner, frames, chunk_size=chunk)
+        dt = time.time() - t0
+        assert vo.poses.shape[0] == len(frames)
+        fps = max(fps, len(frames) / dt)
 
     print(json.dumps({
-        "metric": "coupled depth+pose inference (256x320, bf16, B=8)",
+        "metric": "streaming VO: depth map + DCDP pose per frame, uint8 in (256x320, bf16)",
         "value": round(fps, 1),
         "unit": "fps/chip",
         "vs_baseline": round(fps / 30.0, 2),

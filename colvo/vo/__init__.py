@@ -1,6 +1,7 @@
 """VO, reconstruction, applications (SURVEY.md §2.6, components V1–V4)."""
 
-from colvo.vo.driver import VOResult, run_vo
+from colvo.vo.driver import VOResult, run_vo, chain_relative_poses
+from colvo.vo.stream import StreamingVO
 from colvo.vo.align import umeyama, align_trajectory, align_poses
 from colvo.vo.recon import (
     PointCloud,
@@ -15,6 +16,8 @@ from colvo.vo.polyps import PolypDetection, PolypLocalization, localize_polyps
 __all__ = [
     "VOResult",
     "run_vo",
+    "chain_relative_poses",
+    "StreamingVO",
     "umeyama",
     "align_trajectory",
     "align_poses",

@@ -59,25 +59,89 @@ def _renorm(rot: np.ndarray) -> np.ndarray:
     return r
 
 
+def _rel6_to_mat(rel6: np.ndarray) -> np.ndarray:
+    """(6,) (axisangle, translation) → 4×4 float64 transform."""
+    rel = np.eye(4, dtype=np.float64)
+    rel[:3, :3] = _axis_angle_to_matrix_np(rel6[:3].astype(np.float64))
+    rel[:3, 3] = rel6[3:].astype(np.float64)
+    return rel
+
+
+def chain_relative_poses(
+    rel6: np.ndarray, renorm_every: int = 50
+) -> np.ndarray:
+    """Chain (N, 6) relative prev→cur pose params into (N+1, 4, 4)
+    cam→world poses (float64; periodic rotation renormalization).
+
+    Uses the native C++ chain when available (colvo/native/voxel.cpp),
+    falling back to the numpy loop.
+    """
+    rels = np.stack([_rel6_to_mat(r) for r in rel6]) if len(rel6) else (
+        np.zeros((0, 4, 4), np.float64)
+    )
+    try:
+        from colvo.native import chain_poses
+
+        return chain_poses(rels, renorm_every=renorm_every)
+    except Exception:
+        poses = [np.eye(4, dtype=np.float64)]
+        t_wc = np.eye(4, dtype=np.float64)
+        for i in range(len(rels)):
+            t_wc = t_wc @ np.linalg.inv(rels[i])
+            if (i + 1) % renorm_every == 0:
+                t_wc[:3, :3] = _renorm(t_wc[:3, :3])
+            poses.append(t_wc.copy())
+        return np.stack(poses)
+
+
 def run_vo(
     runner: InferenceRunner,
     frames: Iterable[np.ndarray],
     keyframe_every: int = 1,
     renorm_every: int = 50,
     batch_pairs: int = 1,
+    chunk_size: int = 16,
+    depth_dtype: str = "float16",
 ) -> VOResult:
     """Run VO over a frame stream (BASELINE.json config 5).
 
     Args:
         runner: inference runner with trained params.
-        frames: iterable of (H, W, 3) float frames.
+        frames: iterable of (H, W, 3) frames — uint8 preferred (4× cheaper
+            host→device; normalized on device), float in [0, 1] accepted.
         keyframe_every: keep every k-th depth map for reconstruction.
         renorm_every: SVD-renormalize the chained rotation every k frames.
+        chunk_size: frames per device transfer/compute chunk (fast path).
+
+    Real runners take the chunked streaming fast path (colvo/vo/stream.py):
+    uint8 chunked H2D, one encoder pass per frame via device-resident
+    carry, transfer/compute overlap. Duck-typed runners (e.g. test
+    oracles exposing only ``infer_coupled``) take the per-pair loop below.
 
     Note on scale: self-supervised monocular VO is scale-ambiguous; the
     trajectory is in the network's scale and is aligned to GT by the
     Umeyama similarity in evaluation (SURVEY.md V2).
     """
+    if isinstance(runner, InferenceRunner):
+        from colvo.vo.stream import StreamingVO
+
+        depths_all, rel6 = StreamingVO(
+            runner, chunk_size=chunk_size, depth_dtype=depth_dtype
+        ).run(frames)
+        if not depths_all:
+            return VOResult(poses=np.eye(4)[None].astype(np.float64))
+        poses = chain_relative_poses(rel6, renorm_every=renorm_every)
+        n = len(depths_all)
+        # keyframe protocol identical to the per-pair loop below
+        ids = [i for i in range(n - 1) if i % keyframe_every == 0]
+        if (n - 1) % keyframe_every == 0 or not ids:
+            ids.append(n - 1)
+        return VOResult(
+            poses=poses,
+            depths=[depths_all[i] for i in ids],
+            keyframe_ids=ids,
+        )
+
     it = iter(frames)
     try:
         prev = next(it)

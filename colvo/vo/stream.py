@@ -1,0 +1,212 @@
+"""Chunked streaming VO executor — the TPU-native config-5 hot path.
+
+The naive per-pair VO loop (one ``infer_coupled`` call per frame pair with
+host numpy inputs) is host-link bound, not compute bound: on the real chip
+the coupled depth+pose graph takes ~0.3 ms for 8 pairs, while feeding two
+float32 frame batches from host per call costs two orders of magnitude
+more. This module restructures streaming VO around the hardware:
+
+  * **uint8 on the wire in** — frames cross host→HBM as uint8 (4× less
+    link traffic than float32; decoders produce uint8 anyway) and are
+    converted + normalized on device inside the jitted chunk program;
+  * **chunked transfers** — frames move in chunks of ``chunk_size`` (one
+    ``device_put`` per chunk amortizes per-transfer latency);
+  * **each frame's encoder runs exactly once** — the previous chunk's last
+    normalized frame and its depth bottleneck are carried device-resident
+    into the next chunk, so consecutive pairs share per-frame work instead
+    of recomputing the shared frame (the naive pair loop runs every
+    encoder twice);
+  * **float16 depth out, one fetch per chunk** — device→host is the
+    scarce resource; depth maps cross as float16 (~5e-4 relative error,
+    ample for reconstruction/viz of 8-bit video) and each chunk's depth +
+    pose outputs are bit-packed into a single uint16 buffer so the chunk
+    pays one device→host fixed cost, not two. Poses stay exact float32
+    (bit-cast, not rounded) — trajectory chaining is precision-critical.
+  * **O(chunk) device memory** — a full colonoscopy (thousands of frames)
+    streams through without ever materializing on device (SURVEY.md §5.7).
+
+Per chunk of W new frames the jitted program computes W depth maps, W
+DCDP-fused poses (pairs: carry→f0, f0→f1, …), and the new carry. Pose
+chaining stays on host in float64 (SURVEY.md §3.3 boundary note).
+
+The jitted programs are memoized on the runner, so repeated ``run_vo``
+calls (and the eval pipelines) reuse one compiled executable per
+(depth_dtype, chunk shape).
+
+Capability parity: this is the rebuilt V1 fast path (SURVEY.md §2.6);
+reference capability claim README.md:21,29 (full-sequence trajectories,
+stitched reconstruction).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colvo.geometry import disp_to_depth
+from colvo.runtime.infer import InferenceRunner
+
+
+def _to_u16_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """Bit-cast any 2- or 4-byte array to a flat uint16 container."""
+    return jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(-1)
+
+
+def _build_stream_fns(runner: InferenceRunner, wire_dt: jnp.dtype):
+    cfg = runner.cfg
+    model = runner.model
+
+    def _normalize(frames):
+        imgs = frames.astype(jnp.float32)
+        if frames.dtype == jnp.uint8:
+            imgs = imgs / 255.0
+        return imgs
+
+    def _depth_of(disps):
+        _, depth = disp_to_depth(
+            disps[0][..., 0], cfg.model.min_depth, cfg.model.max_depth
+        )
+        return depth.astype(wire_dt)
+
+    @jax.jit
+    def init_fn(params, frame):
+        """First frame: depth + carry (normalized img, bottleneck)."""
+        img = _normalize(frame)
+        disps, bneck = model.apply(params, img, method=model.depth)
+        return _depth_of(disps), img, bneck
+
+    @jax.jit
+    def chunk_fn(params, carry_img, carry_bneck, new_frames):
+        """W new frames → one packed wire buffer (depths+poses), next carry.
+
+        Pairs are (carry→new0), (new0→new1), … — each frame's depth
+        encoder runs once; the pose branch reuses the carried depth
+        bottleneck for DCDP fusion (README.md:7 coupling).
+        """
+        imgs = _normalize(new_frames)
+        disps, bnecks = model.apply(params, imgs, method=model.depth)
+        img_a = jnp.concatenate([carry_img, imgs[:-1]], axis=0)
+        bneck_a = jnp.concatenate([carry_bneck, bnecks[:-1]], axis=0)
+        feats = [bneck_a, bnecks] if cfg.model.dcdp_fusion else None
+        aa, tr = model.apply(params, img_a, imgs, feats, method=model.pose)
+        pose6 = jnp.concatenate([aa, tr], axis=-1).astype(jnp.float32)
+        wire = jnp.concatenate(
+            [_to_u16_bits(_depth_of(disps)), _to_u16_bits(pose6)]
+        )
+        return wire, imgs[-1:], bnecks[-1:]
+
+    return init_fn, chunk_fn
+
+
+class StreamingVO:
+    """Chunked streaming depth+pose executor over an InferenceRunner.
+
+    ``depth_dtype`` sets the on-the-wire dtype of fetched depth maps:
+    float16 (default) halves device→host traffic at ~5e-4 relative depth
+    error; float32 gives bit-exact parity with the per-pair path (the CPU
+    test suite uses it).
+    """
+
+    def __init__(
+        self,
+        runner: InferenceRunner,
+        chunk_size: int = 16,
+        depth_dtype: str = "float16",
+    ):
+        self.runner = runner
+        self.chunk_size = int(chunk_size)
+        self.wire_dt = jnp.dtype(depth_dtype)
+        assert self.wire_dt.itemsize in (2, 4), depth_dtype
+        cache = runner.__dict__.setdefault("_stream_fn_cache", {})
+        key = str(self.wire_dt)
+        if key not in cache:
+            cache[key] = _build_stream_fns(runner, self.wire_dt)
+        self._init_fn, self._chunk_fn = cache[key]
+
+    def _chunks(
+        self, it: Iterator[np.ndarray]
+    ) -> Iterator[Tuple[np.ndarray, int]]:
+        """Group the remaining frames into (chunk array, n_valid) blocks.
+
+        The final partial chunk is padded by repeating its last frame so
+        every chunk has the same static shape (one compiled program).
+        """
+        w = self.chunk_size
+        buf: List[np.ndarray] = []
+        for f in it:
+            buf.append(f)
+            if len(buf) == w:
+                yield np.stack(buf), w
+                buf = []
+        if buf:
+            n = len(buf)
+            buf.extend([buf[-1]] * (w - n))
+            yield np.stack(buf), n
+
+    def _decode_wire(
+        self, wire: np.ndarray, hw: Tuple[int, int]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Split a fetched uint16 wire buffer into (depths, pose6)."""
+        w = self.chunk_size
+        units = self.wire_dt.itemsize // 2
+        n_d = w * hw[0] * hw[1] * units
+        depths = (
+            wire[:n_d]
+            .view(np.dtype(self.wire_dt.name))
+            .reshape(w, *hw)
+            .astype(np.float32)
+        )
+        pose6 = wire[n_d:].view(np.float32).reshape(w, 6)
+        return depths, pose6
+
+    def run(
+        self, frames: Iterable[np.ndarray]
+    ) -> Tuple[List[np.ndarray], np.ndarray]:
+        """Stream frames → (per-frame depth maps, (N-1, 6) relative poses).
+
+        Frames may be uint8 HWC (preferred: 4× cheaper on the wire) or
+        float in [0, 1]; normalization happens on device either way.
+        """
+        it = iter(frames)
+        try:
+            first = np.asarray(next(it))
+        except StopIteration:
+            return [], np.zeros((0, 6), np.float32)
+
+        hw = first.shape[:2]
+        params = self.runner.params
+        d0, carry_img, carry_bneck = self._init_fn(
+            params, jax.device_put(first[None])
+        )
+
+        depths: List[np.ndarray] = []
+        poses: List[np.ndarray] = []
+        pending: Optional[Tuple[jax.Array, int]] = None
+
+        def flush(pending):
+            wire, n = pending
+            dn, pn = self._decode_wire(np.asarray(wire), hw)
+            depths.extend(dn[i] for i in range(n))
+            poses.append(pn[:n])
+
+        for chunk, n_valid in self._chunks(it):
+            dev_chunk = jax.device_put(chunk)  # async H2D
+            wire, carry_img, carry_bneck = self._chunk_fn(
+                params, carry_img, carry_bneck, dev_chunk
+            )
+            if pending is not None:
+                flush(pending)  # blocks; next chunk already queued
+            pending = (wire, n_valid)
+        if pending is not None:
+            flush(pending)
+
+        all_depths = [np.asarray(d0).astype(np.float32)[0]] + depths
+        rel = (
+            np.concatenate(poses, axis=0)
+            if poses
+            else np.zeros((0, 6), np.float32)
+        )
+        return all_depths, rel

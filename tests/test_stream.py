@@ -1,0 +1,112 @@
+"""Streaming VO executor parity (SURVEY.md §4 — the V1 fast path).
+
+The chunked streaming executor (colvo/vo/stream.py) restructures the VO
+hot path (uint8 chunked transfers, carried encoder features); these tests
+pin it numerically to the reference per-pair coupled inference and to the
+legacy per-pair driver loop.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from colvo.config import ColvoConfig
+from colvo.runtime import init_state
+from colvo.runtime.infer import InferenceRunner
+from colvo.vo import StreamingVO, chain_relative_poses, run_vo
+from colvo.vo.driver import VOResult
+
+
+@pytest.fixture(scope="module")
+def tiny_runner():
+    cfg = ColvoConfig()
+    cfg.model.dtype = "float32"
+    cfg.data.height, cfg.data.width = 64, 96
+    _, state = init_state(cfg, jax.random.key(0))
+    return InferenceRunner(cfg, state.params), cfg
+
+
+@pytest.fixture(scope="module")
+def frames(tiny_runner):
+    _, cfg = tiny_runner
+    rng = np.random.default_rng(3)
+    n = 7  # deliberately not a multiple of chunk_size
+    return rng.random((n, cfg.data.height, cfg.data.width, 3)).astype(np.float32)
+
+
+def test_stream_matches_per_pair_coupled(tiny_runner, frames):
+    """Chunked streaming == per-pair infer_coupled (same params, same frames)."""
+    runner, _ = tiny_runner
+    depths, rel6 = StreamingVO(runner, chunk_size=3, depth_dtype="float32").run(frames)
+    assert len(depths) == len(frames)
+    assert rel6.shape == (len(frames) - 1, 6)
+
+    for i in range(len(frames) - 1):
+        da, db, aa, tr = runner.infer_coupled(frames[i][None], frames[i + 1][None])
+        np.testing.assert_allclose(depths[i], da[0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(rel6[i, :3], aa[0], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(rel6[i, 3:], tr[0], rtol=1e-4, atol=1e-6)
+    # final frame's depth comes from the last chunk's own forward
+    _, db, _, _ = runner.infer_coupled(frames[-2][None], frames[-1][None])
+    np.testing.assert_allclose(depths[-1], db[0], rtol=1e-4, atol=1e-5)
+
+
+def test_stream_uint8_close_to_float(tiny_runner, frames):
+    """uint8-on-the-wire (device-side /255) ≈ float path (quantization only)."""
+    runner, _ = tiny_runner
+    frames_u8 = np.clip(frames * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    d_f, p_f = StreamingVO(runner, chunk_size=4).run(frames)
+    d_u, p_u = StreamingVO(runner, chunk_size=4).run(frames_u8)
+    # inputs differ by ≤ 1/510 per pixel; outputs must stay close
+    np.testing.assert_allclose(p_f, p_u, atol=5e-3)
+    np.testing.assert_allclose(np.stack(d_f), np.stack(d_u), rtol=0.05, atol=5e-3)
+
+
+def test_stream_f16_wire_depth_close_to_f32(tiny_runner, frames):
+    """float16 on-the-wire depth (the production default) ≈ float32."""
+    runner, _ = tiny_runner
+    d32, p32 = StreamingVO(runner, chunk_size=4, depth_dtype="float32").run(frames)
+    d16, p16 = StreamingVO(runner, chunk_size=4, depth_dtype="float16").run(frames)
+    np.testing.assert_allclose(p32, p16, atol=1e-6)  # poses stay float32
+    np.testing.assert_allclose(np.stack(d32), np.stack(d16), rtol=1e-3)
+    assert np.stack(d16).dtype == np.float32  # converted back on host
+
+
+def test_run_vo_fast_path_matches_legacy_loop(tiny_runner, frames):
+    """run_vo(InferenceRunner) streaming result == the per-pair driver loop."""
+    runner, _ = tiny_runner
+    fast = run_vo(runner, frames, keyframe_every=2, chunk_size=3, depth_dtype="float32")
+
+    # reproduce the legacy loop through the same public API by hiding the
+    # runner type (duck-typed oracle path)
+    class Wrapped:
+        def __init__(self, r):
+            self._r = r
+
+        def infer_coupled(self, a, b):
+            return self._r.infer_coupled(a, b)
+
+    legacy = run_vo(Wrapped(runner), frames, keyframe_every=2)
+    assert isinstance(fast, VOResult)
+    assert fast.keyframe_ids == legacy.keyframe_ids
+    np.testing.assert_allclose(fast.poses, legacy.poses, rtol=1e-4, atol=1e-5)
+    assert len(fast.depths) == len(legacy.depths)
+    for df, dl in zip(fast.depths, legacy.depths):
+        np.testing.assert_allclose(df, dl, rtol=1e-4, atol=1e-5)
+
+
+def test_chain_relative_poses_identity_and_inverse():
+    rel6 = np.zeros((5, 6), np.float32)
+    poses = chain_relative_poses(rel6)
+    assert poses.shape == (6, 4, 4)
+    np.testing.assert_allclose(poses, np.eye(4)[None].repeat(6, 0), atol=1e-12)
+
+    # pure +z translation of the *relative* prev→cur transform moves the
+    # camera along −z in world (cam→world is the inverse chain)
+    rel6 = np.zeros((3, 6), np.float64)
+    rel6[:, 5] = 0.1
+    poses = chain_relative_poses(rel6)
+    np.testing.assert_allclose(
+        poses[:, 2, 3], [0.0, -0.1, -0.2, -0.3], atol=1e-12
+    )
