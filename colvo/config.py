@@ -66,6 +66,19 @@ class LossConfig:
     lcc_window: int = 15  # low-frequency local window for the gain field
     automask: bool = True  # identity-reprojection automasking (L3)
     min_reprojection: bool = True  # per-pixel min over source frames (L3)
+    # Geometric-consistency evaluation protocol (L5). Defaults are the
+    # TPU-fast path; flip both for the family's full-res/full-grad protocol
+    # (kept as the semantics contract and exercised in tests).
+    geo_full_res: bool = False  # False: evaluate L5 at each scale's native
+    #   resolution (4–64× less warp work at scales 1–3; the constraint is
+    #   scale-local — overfit trajectories match the full-res protocol to
+    #   <1% while cutting the gather+scatter cost ~3×)
+    geo_stopgrad: bool = False  # True: stop-gradient the warped source
+    #   depth (pseudo-label consistency) — enables the Pallas
+    #   no-source-grad sampler on TPU instead of XLA gather + scatter-add
+    #   backward. OFF by default: measured on the overfit smoke, detaching
+    #   the sampled depth stalls training (loss ratio 1.14 vs 0.25 over 15
+    #   steps) — both sides of the consistency residual need gradient
 
 
 @dataclass

@@ -26,7 +26,6 @@ from colvo.geometry import (
     backproject,
     project,
     bilinear_sample,
-    reproject_depth,
 )
 from colvo.geometry.ops import _valid_mask
 from colvo.kernels import bilinear_sample_fast
@@ -34,6 +33,12 @@ from colvo.losses.photometric import lcc_calibrate, photometric_error
 from colvo.losses.terms import automask as automask_fn
 from colvo.losses.terms import geometry_consistency, smoothness_loss
 from colvo.models.depth_decoder import upsample_nearest
+
+
+def _scale_k(k: jnp.ndarray, sx: float, sy: float) -> jnp.ndarray:
+    """Rescale (…, 3, 3) intrinsics for a resized grid (in-graph)."""
+    s = jnp.array([sx, sy, 1.0], k.dtype)
+    return k * s[:, None]
 
 
 def _upsample_to(disp: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
@@ -139,14 +144,52 @@ def snippet_loss(
             err = photometric_error(warped, tgt_clean, loss_cfg.ssim_alpha)
 
             if loss_cfg.geometric_weight > 0:
-                src_disp_full = _upsample_to(disps[s + 1][scale], height, width)
-                _, src_depth = disp_to_depth(
-                    src_disp_full[..., 0], model_cfg.min_depth, model_cfg.max_depth
-                )
-                computed, sampled, gvalid = reproject_depth(
-                    src_depth, depth, t_mat, k, k_inv
-                )
-                g_loss, g_weight = geometry_consistency(computed, sampled, gvalid * valid)
+                if loss_cfg.geo_full_res:
+                    # Family full-res protocol: everything upsampled to the
+                    # input grid; reuse the photometric projection.
+                    src_disp_full = _upsample_to(
+                        disps[s + 1][scale], height, width
+                    )
+                    _, src_depth_g = disp_to_depth(
+                        src_disp_full[..., 0],
+                        model_cfg.min_depth,
+                        model_cfg.max_depth,
+                    )
+                    pix_g, z_g, h_g, w_g = pix, z, height, width
+                else:
+                    # Native-scale protocol: the constraint is scale-local,
+                    # so evaluate it on each scale's own grid — 4–64× less
+                    # warp work at scales 1–3 (the warp gather dominates
+                    # the train step otherwise; measured 5.4 of 7.9 ms).
+                    h_g, w_g = disp_s.shape[1], disp_s.shape[2]
+                    k_g = _scale_k(k, w_g / width, h_g / height)
+                    _, depth_g = disp_to_depth(
+                        disp_s[..., 0], model_cfg.min_depth, model_cfg.max_depth
+                    )
+                    _, src_depth_g = disp_to_depth(
+                        disps[s + 1][scale][..., 0],
+                        model_cfg.min_depth,
+                        model_cfg.max_depth,
+                    )
+                    pts_g = backproject(depth_g, jnp.linalg.inv(k_g))
+                    pix_g, z_g = project(pts_g, k_g, t_mat)
+                if loss_cfg.geo_stopgrad:
+                    # Pseudo-label consistency: no gradient into the warped
+                    # source depth → the Pallas coords-grad sampler applies
+                    # (no XLA gather + scatter-add backward on TPU).
+                    sampled = bilinear_sample_fast(
+                        jax.lax.stop_gradient(src_depth_g)[..., None], pix_g
+                    )[..., 0]
+                else:
+                    sampled = bilinear_sample(src_depth_g[..., None], pix_g)[..., 0]
+                gvalid = _valid_mask(pix_g, h_g, w_g) * (z_g > 0)
+                if loss_cfg.geo_full_res:
+                    gvalid = gvalid * valid
+                g_loss, g_weight = geometry_consistency(z_g, sampled, gvalid)
+                if not loss_cfg.geo_full_res and height // h_g > 1:
+                    up = height // h_g
+                    g_weight = upsample_nearest(g_weight[..., None], up)[..., 0]
+                    gvalid = upsample_nearest(gvalid[..., None], up)[..., 0]
                 geo_losses.append(g_loss)
                 geo_weights.append(g_weight)
                 # Downweight photometrically where geometry disagrees

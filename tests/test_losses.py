@@ -185,6 +185,35 @@ def test_snippet_loss_ablations_run():
         LossConfig(lcc_mode="gain"),
         LossConfig(automask=False, min_reprojection=True),
         LossConfig(automask=False, min_reprojection=False),
+        # geometric-consistency protocol matrix (TPU-fast default vs the
+        # family full-res/full-grad contract and the mixed modes)
+        LossConfig(geo_full_res=True, geo_stopgrad=False),
+        LossConfig(geo_full_res=True, geo_stopgrad=True),
+        LossConfig(geo_full_res=False, geo_stopgrad=False),
     ]:
         loss, _ = snippet_loss(disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg)
         assert np.isfinite(float(loss))
+
+
+def test_geo_modes_grads_flow_and_agree_on_sign():
+    """Both geo protocols produce finite, nonzero grads; the stop-grad mode
+    must still backprop into pose and target depth (only the sampled source
+    depth is detached)."""
+    model, params, frames, k, mcfg = _setup_snippet()
+
+    def loss_fn(p, lcfg):
+        disps, poses = model.apply(p, frames)
+        loss, aux = snippet_loss(
+            disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg
+        )
+        return loss, aux["loss/geometric"]
+
+    for lcfg in [LossConfig(), LossConfig(geo_full_res=True, geo_stopgrad=False)]:
+        (loss, geo), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, lcfg), has_aux=True
+        )(params)
+        assert np.isfinite(float(loss)) and np.isfinite(float(geo))
+        assert float(geo) > 0
+        leaves = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+        assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
