@@ -25,7 +25,9 @@ class DataConfig:
     width: int = 320
     frame_offsets: Tuple[int, ...] = (-1, 1)  # source frames relative to target
     batch_size: int = 12
-    loader: str = "numpy"  # numpy | grain (checkpointable iterator state)
+    loader: str = "numpy"  # numpy | grain (checkpointable iterator state) |
+    #   device (corpus pinned to HBM as uint8, batches assembled on device —
+    #   fastest; requires a single shared K across sequences)
     num_workers: int = 4
     shuffle_buffer: int = 512
     augment: bool = True

@@ -139,7 +139,8 @@ class DeviceSnippetStore:
                 idx = jnp.asarray(order[start : start + bsz].astype(np.int32))
                 clean = self._assemble(self.frames, self.table, idx, key)
                 if self.sharding is not None:
-                    clean = jax.lax.with_sharding_constraint(clean, self.sharding)
+                    # concrete array outside jit → device_put redistributes
+                    clean = jax.device_put(clean, self.sharding)
                 if cfg.augment:
                     key, sub = jax.random.split(key)
                     aug, clean = augment_fn(clean, sub)

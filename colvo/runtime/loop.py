@@ -17,7 +17,7 @@ from colvo.config import ColvoConfig
 from colvo.data import SnippetDataset, batch_iterator, prefetch_to_device
 from colvo.runtime.checkpoint import CheckpointManager
 from colvo.runtime.mesh import batch_sharding, make_mesh, replicate_tree
-from colvo.runtime.metrics import MetricsWriter
+from colvo.runtime.metrics import AsyncMetricsLogger, MetricsWriter
 from colvo.runtime.train_step import TrainState, init_state, make_optimizer, make_train_step
 
 
@@ -60,14 +60,30 @@ def train(
         state, start_step = ckpt.restore(state)
         print(f"resumed from step {start_step}")
 
-    writer = MetricsWriter(log_dir)
+    # Async logger: the blocking device→host metric fetch runs on a daemon
+    # thread so the step loop never syncs (metrics.py module docstring).
+    logger = AsyncMetricsLogger(MetricsWriter(log_dir))
 
     profile_window = None
     if cfg.train.profile_steps:
         a, _, b = cfg.train.profile_steps.partition(":")
         profile_window = (int(a), int(b))
 
-    if cfg.data.loader == "grain":
+    if cfg.data.loader == "device":
+        # Device-resident corpus (D5 strongest form): frames pinned to HBM
+        # as uint8 once; per-step host work is drawing B indices. Removes
+        # host batch assembly + per-step H2D entirely (the host link is the
+        # scarce resource; SURVEY.md §5.8 note in device_store.py).
+        from colvo.data.device_store import DeviceSnippetStore
+
+        store = DeviceSnippetStore(
+            dataset.sequences,
+            dataset.intrinsics,
+            cfg.data.frame_offsets,
+            sharding=sharding,
+        )
+        batches = store.batches(cfg.data, seed=cfg.train.seed)
+    elif cfg.data.loader == "grain":
         from colvo.data.grain_loader import grain_batch_iterator
 
         batches = grain_batch_iterator(dataset, cfg.data, seed=cfg.train.seed)
@@ -77,16 +93,20 @@ def train(
     for _ in range(start_step % steps_per_epoch):
         next(batches)
 
-    def shard(b):
-        if sharding is None:
-            return b
-        from colvo.runtime.mesh import shard_batch
+    if cfg.data.loader == "device":
+        stream = batches  # already device-resident and sharded
+    else:
+        def shard(b):
+            if sharding is None:
+                return b
+            from colvo.runtime.mesh import shard_batch
 
-        return shard_batch(b, mesh, cfg.mesh.axis_name)
+            return shard_batch(b, mesh, cfg.mesh.axis_name)
 
-    stream = prefetch_to_device(map(shard, batches) if sharding else batches, size=2)
+        stream = prefetch_to_device(
+            map(shard, batches) if sharding else batches, size=2
+        )
 
-    bad_steps = 0
     t_last = time.time()
     step = start_step
     for batch in stream:
@@ -101,20 +121,15 @@ def train(
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
 
+        if logger.bad_steps >= cfg.train.max_bad_steps:
+            raise RuntimeError(
+                f"aborting: {logger.bad_steps} consecutive non-finite losses"
+            )
         if step % cfg.train.log_every == 0 or step == total_steps:
-            loss = float(metrics["loss/total"])
-            if not np.isfinite(loss):
-                bad_steps += 1
-                if bad_steps >= cfg.train.max_bad_steps:
-                    raise RuntimeError(
-                        f"aborting: {bad_steps} consecutive non-finite losses"
-                    )
-            else:
-                bad_steps = 0
             now = time.time()
             sps = cfg.train.log_every / max(now - t_last, 1e-9)
             t_last = now
-            writer.log_scalars(
+            logger.log(
                 step,
                 {**{k: v for k, v in metrics.items()}, "steps_per_sec": sps,
                  "fps": sps * cfg.data.batch_size},
@@ -127,5 +142,5 @@ def train(
             eval_hook(step, state)
 
     ckpt.wait()
-    writer.close()
+    logger.close()
     return model, state

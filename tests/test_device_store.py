@@ -101,3 +101,22 @@ def test_scan_train_chunk_runs_and_learns(seq):
     assert int(state.step) == 8
     state, metrics2 = chunk_fn(state, store.frames, store.table, store.k, jax.random.key(2))
     assert np.asarray(metrics2["loss/total"]).mean() < losses.mean()
+
+
+def test_train_loop_with_device_loader(seq, tmp_path):
+    """train() with loader='device' runs end to end (no host batch path)."""
+    from colvo.config import ColvoConfig
+    from colvo.runtime.loop import train
+
+    cfg = ColvoConfig()
+    cfg.model.dtype = "float32"
+    cfg.model.n_scales = 2
+    cfg.data.height = cfg.data.width = 64
+    cfg.data.batch_size = 8  # divisible over the faked 8-device DP mesh
+    cfg.data.frame_offsets = (1,)
+    cfg.data.loader = "device"
+    cfg.train.ckpt_dir = str(tmp_path / "ckpt")
+    cfg.train.log_every = 1
+    ds = SnippetDataset([seq.frames], [seq.k], cfg.data.frame_offsets)
+    _, state = train(cfg, ds, log_dir=str(tmp_path / "runs"), max_steps=3)
+    assert int(state.step) == 3
