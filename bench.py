@@ -40,7 +40,8 @@ def main():
     h, w = cfg.data.height, cfg.data.width
     chunk = 32
     rng = np.random.default_rng(0)
-    frames = rng.integers(0, 256, (8 * chunk + 1, h, w, 3), dtype=np.uint8)
+    # long enough that pipeline startup/drain amortizes (steady state)
+    frames = rng.integers(0, 256, (32 * chunk + 1, h, w, 3), dtype=np.uint8)
 
     # warmup/compile (init fn + chunk fn; memoized on the runner)
     run_vo(runner, frames[: chunk + 1], chunk_size=chunk)

@@ -101,7 +101,11 @@ class TrainConfig:
     ckpt_keep: int = 3
     max_bad_steps: int = 10  # NaN-loss abort guard (SURVEY.md §5.3)
     profile_steps: str = ""  # "a:b" window for jax.profiler (SURVEY.md §5.1)
-    deterministic: bool = False
+    deterministic: bool = False  # pin matmul precision to 'highest' and
+    #   replay-stable PRNG streams (SURVEY.md §5.2); TPU execution is
+    #   otherwise deterministic given fixed seeds
+    debug_nans: bool = False  # jax_debug_nans: raise at the op that first
+    #   produces a NaN instead of tripping the max_bad_steps guard later
 
 
 @dataclass

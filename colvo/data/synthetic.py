@@ -53,21 +53,30 @@ def colon_texture(theta: np.ndarray, z: np.ndarray, seed: int = 7) -> np.ndarray
     """Procedural mucosa albedo at cylinder coords (θ, z) → (..., 3) RGB.
 
     Multi-octave value noise (tissue mottling) + a vascular sinus pattern +
-    haustral ring darkening, in colon-like reddish tones."""
-    u = theta * 3.0
-    v = z * 8.0
+    haustral ring darkening, in colon-like reddish tones.
+
+    Spatial frequencies are set so the finest octave is a few pixels at
+    render scale: self-supervised warping losses only see texture that
+    actually changes under an ~10 px reprojection, so a too-smooth wall
+    leaves the photometric loss flat at the identity warp (measured: the
+    GT warp scored *worse* than identity before LCC with the original
+    low-frequency texture — no trainable signal)."""
+    u = theta * 6.0
+    v = z * 60.0  # z is meters; visible span per frame is ~0.1 m
     n = np.zeros_like(u)
     amp, freq = 1.0, 1.0
-    for octave in range(4):
+    norm = 0.0
+    for octave in range(5):
         n += amp * _value_noise(u * freq, v * freq, seed + octave)
-        amp *= 0.5
+        norm += amp
+        amp *= 0.55
         freq *= 2.1
-    n /= 1.9375
-    vessels = 0.15 * np.sin(6.0 * theta + 14.0 * z + 4.0 * n) ** 8
-    rings = 0.12 * np.cos(2 * np.pi * z / 0.35) ** 6  # haustral folds
-    base_r = 0.72 + 0.18 * n - vessels - rings
-    base_g = 0.38 + 0.12 * n - 0.8 * vessels - 0.5 * rings
-    base_b = 0.30 + 0.08 * n - 0.6 * vessels - 0.5 * rings
+    n /= norm
+    vessels = 0.22 * np.sin(9.0 * theta + 110.0 * z + 5.0 * n) ** 8
+    rings = 0.15 * np.cos(2 * np.pi * z / 0.08) ** 6  # haustral folds
+    base_r = 0.70 + 0.26 * (n - 0.5) * 2.0 - vessels - rings
+    base_g = 0.38 + 0.16 * (n - 0.5) * 2.0 - 0.8 * vessels - 0.5 * rings
+    base_b = 0.30 + 0.10 * (n - 0.5) * 2.0 - 0.6 * vessels - 0.5 * rings
     return np.clip(np.stack([base_r, base_g, base_b], axis=-1), 0.0, 1.0)
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+import chex
 import jax
 import jax.numpy as jnp
 
@@ -89,6 +90,11 @@ def snippet_loss(
     Returns:
         (scalar loss, aux dict of per-term scalars + full-res depth).
     """
+    # Trace-time input contract (SURVEY.md §5.2 — chex shape assertions).
+    chex.assert_rank(frames, 5)
+    chex.assert_rank(poses, 3)
+    chex.assert_axis_dimension(poses, -1, 6)
+    chex.assert_axis_dimension(poses, 1, frames.shape[1] - 1)
     if frames_clean is None:
         frames_clean = frames
     b, n_frames, height, width, _ = frames.shape

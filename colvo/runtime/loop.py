@@ -30,6 +30,13 @@ def train(
     resume: bool = False,
 ):
     """Full training entry (BASELINE.json config 4). Returns final state."""
+    # Sanitizer modes (SURVEY.md §5.2): surface the first NaN-producing op,
+    # and/or pin reduced-precision matmul accumulation for bitwise replay.
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if cfg.train.deterministic:
+        jax.config.update("jax_default_matmul_precision", "highest")
+
     steps_per_epoch = max(1, len(dataset) // cfg.data.batch_size)
     total_steps = (
         max_steps if max_steps is not None else steps_per_epoch * cfg.train.epochs
