@@ -175,22 +175,55 @@ def evaluate_synthetic(
         max_depth=cfg.eval.depth_cap,
     )
     # pose
-    vo = run_vo(runner, list(seq.frames), keyframe_every=2)
+    vo = run_vo(runner, list(seq.frames), keyframe_every=1)
     pose_metrics = evaluate_pose(vo.poses, seq.poses.astype(np.float64))
-    from colvo.vo import align_trajectory
+    from colvo.vo import align_trajectory, umeyama
 
     aligned = align_trajectory(vo.poses[:, :3, 3], seq.poses[:, :3, 3])
     viz_trajectory(
         {"Ground Truth": seq.poses[:, :3, 3], "ColVO(ours)": aligned},
         os.path.join(out_dir, "trajectory_predictions.png"),
     )
+    # polyp localization (V4, README.md:9): synthetic detections whose GT
+    # 3D position is exact (GT depth lifted through GT pose); the predicted
+    # VO result is sim(3)-aligned first (monocular scale ambiguity), depth
+    # maps scaled by the same s — the per-polyp errors e match the metric
+    # in imgs/3Dcolonreconstruction.png.
+    rng = np.random.default_rng(5)
+    h, w = cfg.data.height, cfg.data.width
+    k_inv64 = np.linalg.inv(seq.k.astype(np.float64))
+    dets, gts = [], []
+    for fid in (n_frames // 4, n_frames // 2, 3 * n_frames // 4):
+        cx = int(rng.integers(w // 4, 3 * w // 4))
+        cy = int(rng.integers(h // 4, 3 * h // 4))
+        dets.append(PolypDetection(frame_id=fid, box=(cx - 6, cy - 6, cx + 6, cy + 6)))
+        d_gt = float(seq.depths[fid][cy, cx])
+        p_cam = k_inv64 @ np.array([cx, cy, 1.0]) * d_gt
+        pose = seq.poses[fid].astype(np.float64)
+        gts.append(pose[:3, :3] @ p_cam + pose[:3, 3])
+    rot, tvec, s = umeyama(vo.poses[:, :3, 3], seq.poses[:, :3, 3])
+    apose = vo.poses.astype(np.float64).copy()
+    apose[:, :3, 3] = (s * (rot @ vo.poses[:, :3, 3].T)).T + tvec
+    apose[:, :3, :3] = rot @ vo.poses[:, :3, :3]
+    vo_aligned = VOResult(
+        poses=apose, depths=[d * s for d in vo.depths], keyframe_ids=vo.keyframe_ids
+    )
+    locs = localize_polyps(vo_aligned, seq.k, dets, np.stack(gts))
+    # figure markers live in the (unaligned) network frame of the cloud
+    locs_fig = localize_polyps(vo, seq.k, dets)
+    polyp_metrics = {
+        f"polyp/e{i+1}": float(l.error) for i, l in enumerate(locs)
+    }
+    polyp_metrics["polyp/e_mean"] = float(np.mean([l.error for l in locs]))
     # reconstruction
     cloud = stitch_pointclouds(vo, seq.k, frames=list(seq.frames), voxel=0.002,
                                max_depth=cfg.model.max_depth)
     save_ply(cloud, os.path.join(out_dir, "reconstruction.ply"))
     viz_recon(cloud.points, os.path.join(out_dir, "colon_reconstruction.png"),
-              colors=cloud.colors, trajectory=vo.poses[:, :3, 3])
-    metrics = {**depth_metrics, **pose_metrics}
+              colors=cloud.colors, trajectory=vo.poses[:, :3, 3],
+              polyps=np.stack([l.position_world for l in locs_fig]),
+              polyp_errors=[l.error for l in locs])
+    metrics = {**depth_metrics, **pose_metrics, **polyp_metrics}
     import json
 
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:

@@ -8,6 +8,7 @@ placement over the mesh (R3).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
 import jax
@@ -114,6 +115,8 @@ def train(
             map(shard, batches) if sharding else batches, size=2
         )
 
+    # One background worker serializes checkpoint fetch+save off the loop.
+    ckpt_pool = ThreadPoolExecutor(max_workers=1)
     t_last = time.time()
     step = start_step
     for batch in stream:
@@ -143,11 +146,22 @@ def train(
             )
 
         if step % cfg.train.ckpt_every_steps == 0 or step == total_steps:
-            ckpt.save(step, jax.tree.map(np.asarray, state))
+            # Snapshot on device (cheap copy; the live buffers get donated
+            # to the next step), then fetch + save off the critical path —
+            # a synchronous full-state fetch costs ~state_bytes/link_bw on
+            # the training loop otherwise.
+            snap = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, state)
+            if ckpt_pool is not None:
+                ckpt_pool.submit(
+                    lambda st=snap, sp=step: ckpt.save(sp, jax.tree.map(np.asarray, st))
+                )
+            else:
+                ckpt.save(step, jax.tree.map(np.asarray, snap))
 
         if eval_hook is not None and step % (steps_per_epoch * cfg.train.eval_every_epochs) == 0:
             eval_hook(step, state)
 
+    ckpt_pool.shutdown(wait=True)
     ckpt.wait()
     logger.close()
     return model, state

@@ -28,6 +28,7 @@ def main(max_steps=12000, out_dir="runs/demo"):
     cfg.data.loader = "device"
     cfg.train.ckpt_dir = os.path.join(out_dir, "ckpt")
     cfg.train.log_every = 500
+    cfg.train.ckpt_every_steps = max_steps  # final checkpoint only (demo)
 
     # richer synthetic corpus than the default demo dataset
     seqs, ks = [], []
