@@ -66,6 +66,15 @@ def main(argv=None) -> int:
     p_export.add_argument("out", help="output .npz path")
     p_export.add_argument("--config")
 
+    p_imp = sub.add_parser(
+        "import-torch",
+        help="convert a family PyTorch checkpoint dir (encoder.pth/depth.pth"
+        "[/pose_encoder.pth/pose.pth]) to inference weights (.npz)",
+    )
+    p_imp.add_argument("torch_dir")
+    p_imp.add_argument("out", help="output .npz path")
+    p_imp.add_argument("--config")
+
     args, overrides = parser.parse_known_args(argv)
 
     if args.command == "train":
@@ -113,6 +122,36 @@ def main(argv=None) -> int:
         state, step = mgr.restore(state)
         export_params(state.params, args.out)
         print(f"exported step-{step} params to {args.out}")
+    elif args.command == "import-torch":
+        import jax
+
+        cfg = _load_cfg(args, overrides)
+        # Family encoders are Conv→BatchNorm; the import target is the
+        # BN-folded variant (colvo.runtime.torch_import docstring). The
+        # family pose decoder takes the bare 512-ch bottleneck, so DCDP
+        # fusion (our addition) is off for imported checkpoints.
+        cfg.model.norm = "none"
+        cfg.model.dcdp_fusion = False
+        from colvo.runtime import export_params, init_state
+        from colvo.runtime.torch_import import (
+            import_family_checkpoint,
+            load_family_checkpoint_dir,
+        )
+
+        _, state = init_state(cfg, jax.random.key(0))
+        sds = load_family_checkpoint_dir(args.torch_dir)
+        params = import_family_checkpoint(
+            state.params,
+            sds["encoder"],
+            sds["depth"],
+            sds.get("pose_encoder"),
+            sds.get("pose"),
+            num_layers=cfg.model.num_layers,
+            n_scales=cfg.model.n_scales,
+        )
+        export_params(params, args.out)
+        print(f"imported family checkpoint {args.torch_dir} -> {args.out} "
+              f"(use with --model.norm=none --model.dcdp_fusion=false)")
     return 0
 
 

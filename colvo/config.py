@@ -52,6 +52,9 @@ class ModelConfig:
     pose_translation_scale: float = 0.01
     dcdp_fusion: bool = True  # DCDP coupling (README.md:7); off = plain PoseNet
     fusion_channels: int = 64
+    norm: str = "group"  # encoder normalization: group (TPU-native, no
+    #   batch-stat sync over the DP mesh) | none (BN-folded conv bias — the
+    #   torch family-checkpoint import target, colvo.runtime.torch_import)
     # Compute dtype for conv stacks; params stay float32.
     dtype: str = "bfloat16"
 

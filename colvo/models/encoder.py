@@ -4,12 +4,25 @@ ResNet-18/34-style feature pyramid in Flax linen, NHWC, bf16-compute /
 fp32-params. Rebuilt TPU-first rather than ported: normalization is
 GroupNorm by default — it needs no cross-device batch-stat sync over the DP
 mesh and no mutable state under jit, so the whole train step stays a pure
-function. (Family parity note: torchvision ResNet uses BatchNorm; the
-torch-weight importer in ``colvo.runtime.checkpoint`` folds BN stats into
-conv weights at import time, so family checkpoints still load.)
+function.
+
+Two conv geometries, keyed on ``norm``:
+
+* ``norm="group"`` (default, the from-scratch TPU training path): XLA
+  ``SAME`` padding — no explicit pad ops, and the geometry all committed
+  training baselines were measured under. (Measured: switching this path
+  to torch-style padding stalled the overfit smoke — the padding alignment
+  is part of the trained behavior, not a free choice.)
+* ``norm="none"`` (the torch family-checkpoint import target,
+  ``colvo.runtime.torch_import``): BatchNorm folded into conv weight+bias,
+  and **exact torch padding geometry** (3 for the 7×7 stem, 1 for 3×3
+  convs) — for strided convs on even inputs SAME pads (0,1) where torch
+  pads (1,1), so imported weights only reproduce the family forward under
+  the torch geometry (asserted in ``tests/test_torch_import.py``).
 
 Evidence: BASELINE.json north_star "conv encoder-decoder DepthNet";
-SURVEY.md §2.2 M1 (Monodepth2 ``resnet_encoder.py`` equivalent).
+SURVEY.md §2.2 M1 (Monodepth2 ``resnet_encoder.py`` equivalent);
+family weight distribution /root/reference/README.md:17.
 """
 
 from __future__ import annotations
@@ -26,10 +39,19 @@ ENCODER_CHANNELS: Tuple[int, ...] = (64, 64, 128, 256, 512)
 
 
 class _Norm(nn.Module):
+    """Normalization switch: "group" (TPU-native default) or "none".
+
+    "none" is the BN-folded import target — the preceding conv then carries
+    a bias absorbing the family checkpoint's BatchNorm statistics.
+    """
+
+    norm: str = "group"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        if self.norm == "none":
+            return x
         # 16 channels/group ≈ GroupNorm sweet spot; min 8 groups.
         groups = max(8, x.shape[-1] // 16)
         groups = min(groups, x.shape[-1])
@@ -41,19 +63,26 @@ class BasicBlock(nn.Module):
 
     features: int
     strides: int = 1
+    norm: str = "group"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        torch_geom = self.norm == "none"
+        bias = torch_geom
+        pad3 = ((1, 1), (1, 1)) if torch_geom else "SAME"
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=self.strides, use_bias=False, dtype=self.dtype)(x)
-        y = _Norm(self.dtype)(y)
+        y = nn.Conv(self.features, (3, 3), strides=self.strides, padding=pad3,
+                    use_bias=bias, dtype=self.dtype)(x)
+        y = _Norm(self.norm, self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(y)
-        y = _Norm(self.dtype)(y)
+        y = nn.Conv(self.features, (3, 3), padding=pad3, use_bias=bias,
+                    dtype=self.dtype)(y)
+        y = _Norm(self.norm, self.dtype)(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(self.features, (1, 1), strides=self.strides, use_bias=False, dtype=self.dtype)(x)
-            residual = _Norm(self.dtype)(residual)
+            residual = nn.Conv(self.features, (1, 1), strides=self.strides,
+                               use_bias=bias, dtype=self.dtype)(x)
+            residual = _Norm(self.norm, self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -65,6 +94,7 @@ class ResNetEncoder(nn.Module):
     """
 
     num_layers: int = 18
+    norm: str = "group"
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -72,11 +102,14 @@ class ResNetEncoder(nn.Module):
         if self.num_layers not in _STAGES:
             raise ValueError(f"num_layers must be one of {sorted(_STAGES)}")
         stages = _STAGES[self.num_layers]
+        torch_geom = self.norm == "none"
 
         features = []
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=2, use_bias=False, dtype=self.dtype)(x)
-        x = _Norm(self.dtype)(x)
+        x = nn.Conv(64, (7, 7), strides=2,
+                    padding=((3, 3), (3, 3)) if torch_geom else "SAME",
+                    use_bias=torch_geom, dtype=self.dtype)(x)
+        x = _Norm(self.norm, self.dtype)(x)
         x = nn.relu(x)
         features.append(x)  # /2, 64
 
@@ -84,6 +117,7 @@ class ResNetEncoder(nn.Module):
         for stage_idx, (blocks, width) in enumerate(zip(stages, ENCODER_CHANNELS[1:])):
             for block_idx in range(blocks):
                 strides = 2 if (stage_idx > 0 and block_idx == 0) else 1
-                x = BasicBlock(width, strides=strides, dtype=self.dtype)(x)
+                x = BasicBlock(width, strides=strides, norm=self.norm,
+                               dtype=self.dtype)(x)
             features.append(x)  # /4, /8, /16, /32
         return features

@@ -84,6 +84,7 @@ class PoseNet(nn.Module):
     """
 
     num_layers: int = 18
+    norm: str = "group"
     dcdp_fusion: bool = True
     fusion_channels: int = 64
     rotation_scale: float = 0.01
@@ -98,7 +99,7 @@ class PoseNet(nn.Module):
         depth_feats: Optional[Sequence[jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = jnp.concatenate([img_a, img_b], axis=-1)  # (B, H, W, 6)
-        feats = ResNetEncoder(self.num_layers, dtype=self.dtype, name="encoder")(x)
+        feats = ResNetEncoder(self.num_layers, norm=self.norm, dtype=self.dtype, name="encoder")(x)
         bottleneck = feats[-1]
         if self.dcdp_fusion and depth_feats is not None:
             bottleneck = DCDPFusion(self.fusion_channels, dtype=self.dtype, name="fusion")(
