@@ -102,13 +102,16 @@ def run_vo(
     batch_pairs: int = 1,
     chunk_size: int = 16,
     depth_dtype: str = "float16",
+    input_format: str = "rgb",
 ) -> VOResult:
     """Run VO over a frame stream (BASELINE.json config 5).
 
     Args:
         runner: inference runner with trained params.
         frames: iterable of (H, W, 3) frames — uint8 preferred (4× cheaper
-            host→device; normalized on device), float in [0, 1] accepted.
+            host→device; normalized on device), float in [0, 1] accepted;
+            with ``input_format="i420"`` planar (H·3/2, W) uint8 YUV as
+            emitted by video decoders (another 2× cheaper host→device).
         keyframe_every: keep every k-th depth map for reconstruction.
         renorm_every: SVD-renormalize the chained rotation every k frames.
         chunk_size: frames per device transfer/compute chunk (fast path).
@@ -126,7 +129,8 @@ def run_vo(
         from colvo.vo.stream import StreamingVO
 
         depths_all, rel6 = StreamingVO(
-            runner, chunk_size=chunk_size, depth_dtype=depth_dtype
+            runner, chunk_size=chunk_size, depth_dtype=depth_dtype,
+            input_format=input_format,
         ).run(frames)
         if not depths_all:
             return VOResult(poses=np.eye(4)[None].astype(np.float64))

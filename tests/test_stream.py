@@ -73,6 +73,53 @@ def test_stream_f16_wire_depth_close_to_f32(tiny_runner, frames):
     assert np.stack(d16).dtype == np.float32  # converted back on host
 
 
+def test_stream_u8_quantized_wire_depth_close_to_f32(tiny_runner, frames):
+    """uint8 quantized-disparity wire: ≤1-step error in disparity space,
+    exact float32 poses (colvo/vo/stream.py uint8 mode)."""
+    runner, cfg = tiny_runner
+    d32, p32 = StreamingVO(runner, chunk_size=4, depth_dtype="float32").run(frames)
+    dq, pq = StreamingVO(runner, chunk_size=4, depth_dtype="uint8").run(frames)
+    np.testing.assert_allclose(p32, pq, atol=1e-6)  # poses stay float32
+    # quantization error bound: one uint8 step of the per-frame disparity
+    # span (round-to-nearest → half a step; allow a full step for the
+    # device/host float roundoff on top)
+    for df, du in zip(d32, dq):
+        disp_f, disp_u = 1.0 / df, 1.0 / du
+        span = disp_f.max() - disp_f.min()
+        assert np.abs(disp_f - disp_u).max() <= span / 255.0 + 1e-5
+    assert np.stack(dq).dtype == np.float32
+
+
+def test_stream_i420_input_close_to_rgb(tiny_runner):
+    """Video-native I420 input ≈ RGB input up to 4:2:0 chroma subsampling
+    (colvo/vo/stream.py input_format="i420").
+
+    Uses rendered-colon frames: chroma subsampling is only meaningful on
+    spatially coherent imagery (on white noise 4:2:0 destroys color by
+    construction — real video is never noise).
+    """
+    from colvo.data import render_sequence
+    from colvo.vo.stream import rgb_to_i420, _i420_to_rgb_device
+
+    runner, cfg = tiny_runner
+    seq = render_sequence(n_frames=7, height=cfg.data.height,
+                          width=cfg.data.width, seed=5)
+    frames_u8 = np.clip(seq.frames * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+    # round-trip: i420 → device RGB must match the host RGB to chroma error
+    i420 = rgb_to_i420(frames_u8)
+    rt = np.asarray(_i420_to_rgb_device(jax.numpy.asarray(i420)))
+    assert rt.shape == frames_u8.shape
+    # luma is exact to rounding; chroma smear stays small on coherent frames
+    assert np.abs(rt - frames_u8 / 255.0).mean() < 0.02
+
+    d_r, p_r = StreamingVO(runner, chunk_size=4).run(frames_u8)
+    d_y, p_y = StreamingVO(runner, chunk_size=4, input_format="i420").run(i420)
+    assert len(d_y) == len(frames_u8)
+    np.testing.assert_allclose(p_r, p_y, atol=2e-2)
+    np.testing.assert_allclose(np.stack(d_r), np.stack(d_y), rtol=0.1, atol=2e-2)
+
+
 def test_run_vo_fast_path_matches_legacy_loop(tiny_runner, frames):
     """run_vo(InferenceRunner) streaming result == the per-pair driver loop."""
     runner, _ = tiny_runner
