@@ -57,6 +57,11 @@ def main(argv=None) -> int:
     p_eval.add_argument("--config")
     p_eval.add_argument("--weights")
     p_eval.add_argument("--out", default="runs/eval")
+    p_eval.add_argument("--data", default=None,
+                        help="benchmark dir (VCD/CSD-style layout, see "
+                        "colvo/data/benchmark.py); default: synthetic eval")
+    p_eval.add_argument("--sequences", default=None,
+                        help="comma-separated sequence subset")
 
     p_viz = sub.add_parser("viz", help="regenerate figures from a VO run dir")
     p_viz.add_argument("run_dir")
@@ -97,9 +102,18 @@ def main(argv=None) -> int:
         )
     elif args.command == "eval":
         cfg = _load_cfg(args, overrides)
-        from colvo.pipelines import evaluate_synthetic
+        if args.data:
+            from colvo.pipelines import evaluate_dataset
 
-        metrics = evaluate_synthetic(cfg, weights=args.weights, out_dir=args.out)
+            seqs = args.sequences.split(",") if args.sequences else None
+            metrics = evaluate_dataset(
+                cfg, args.data, weights=args.weights, out_dir=args.out,
+                sequences=seqs,
+            )
+        else:
+            from colvo.pipelines import evaluate_synthetic
+
+            metrics = evaluate_synthetic(cfg, weights=args.weights, out_dir=args.out)
         for k, v in metrics.items():
             print(f"{k}: {v:.4f}")
     elif args.command == "viz":

@@ -10,6 +10,11 @@ from colvo.data.intrinsics import Intrinsics, scale_intrinsics
 from colvo.data.snippets import Snippet, SnippetDataset, synthetic_dataset, batch_iterator
 from colvo.data.augment import augment_snippet, color_jitter
 from colvo.data.prefetch import prefetch_to_device
+from colvo.data.benchmark import (
+    BenchmarkSequence,
+    list_sequences,
+    load_benchmark_sequence,
+)
 from colvo.data.synthetic import (
     ColonSequence,
     render_frame,
@@ -32,6 +37,9 @@ __all__ = [
     "augment_snippet",
     "color_jitter",
     "prefetch_to_device",
+    "BenchmarkSequence",
+    "list_sequences",
+    "load_benchmark_sequence",
     "ColonSequence",
     "render_frame",
     "render_sequence",

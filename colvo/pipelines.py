@@ -229,3 +229,76 @@ def evaluate_synthetic(
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     return metrics
+
+
+def evaluate_dataset(
+    cfg: ColvoConfig,
+    data_root: str,
+    weights: Optional[str] = None,
+    out_dir: str = "runs/eval",
+    sequences: Optional[Sequence[str]] = None,
+) -> Dict[str, float]:
+    """Evaluate on a VCD/CSD-style benchmark directory (call stack §3.4).
+
+    ``data_root`` holds one subdirectory per sequence in the layout
+    documented in :mod:`colvo.data.benchmark` (rgb/ + optional dense GT
+    depth/ + optional poses.txt + intrinsics.txt — the dense-GT benchmark
+    shape of the reference's two eval datasets, README.md:25-27). Per
+    sequence: the 7 standard depth metrics vs dense GT (median scaling +
+    cap, component E1), ATE/RPE after sim(3) alignment when GT poses exist
+    (E2), and the qualitative depth-grid + trajectory figures for the
+    first sequence (E3). Returns per-sequence and mean metrics; writes
+    ``metrics.json`` + figures to ``out_dir``.
+    """
+    import json
+
+    from colvo.data import list_sequences, load_benchmark_sequence
+
+    os.makedirs(out_dir, exist_ok=True)
+    runner = make_runner(cfg, weights)
+    names = list(sequences) if sequences else list_sequences(data_root)
+    if not names:
+        raise FileNotFoundError(f"no sequences under {data_root}")
+
+    metrics: Dict[str, float] = {}
+    depth_accum: Dict[str, List[float]] = {}
+    pose_accum: Dict[str, List[float]] = {}
+    for idx, name in enumerate(names):
+        seq = load_benchmark_sequence(
+            os.path.join(data_root, name), cfg.data.width, cfg.data.height
+        )
+        if seq.gt_depths is not None:
+            dm, preds = evaluate_depth(runner, seq.frames, seq.gt_depths, cfg)
+            for k, v in dm.items():
+                metrics[f"{name}/depth/{k}"] = v
+                depth_accum.setdefault(k, []).append(v)
+            if idx == 0:
+                viz_depth_grid(
+                    seq.frames[0], seq.gt_depths[0], {"ColVO(ours)": preds[0]},
+                    os.path.join(out_dir, f"qualitative_depth_{name}.png"),
+                    max_depth=cfg.eval.depth_cap,
+                )
+        if seq.gt_poses is not None:
+            vo = run_vo(runner, list(seq.frames), keyframe_every=4)
+            pm = evaluate_pose(vo.poses, seq.gt_poses)
+            for k, v in pm.items():
+                metrics[f"{name}/pose/{k}"] = v
+                pose_accum.setdefault(k, []).append(v)
+            if idx == 0:
+                from colvo.vo import align_trajectory
+
+                aligned = align_trajectory(
+                    vo.poses[:, :3, 3], seq.gt_poses[:, :3, 3]
+                )
+                viz_trajectory(
+                    {"Ground Truth": seq.gt_poses[:, :3, 3],
+                     "ColVO(ours)": aligned},
+                    os.path.join(out_dir, f"trajectory_{name}.png"),
+                )
+    for k, vs in depth_accum.items():
+        metrics[f"mean/depth/{k}"] = float(np.mean(vs))
+    for k, vs in pose_accum.items():
+        metrics[f"mean/pose/{k}"] = float(np.mean(vs))
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
