@@ -14,6 +14,26 @@ import numpy as np
 
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 
+# pixel_format options for the sources below:
+#   "float" — float32 RGB in [0, 1] (legacy default; 12 B/px on the wire)
+#   "rgb8"  — uint8 RGB (4× cheaper host→device; the streaming VO executor
+#             normalizes on device — use this for run_vo)
+#   "i420"  — planar uint8 YUV 4:2:0, limited-range BT.601 as video
+#             decoders emit it (another 2× cheaper; pair with
+#             run_vo(input_format="i420tv"))
+
+
+def _emit(rgb_resized: np.ndarray, pixel_format: str) -> np.ndarray:
+    if pixel_format == "float":
+        return _to_float_rgb(rgb_resized)
+    if pixel_format == "rgb8":
+        return rgb_resized
+    if pixel_format == "i420":
+        import cv2
+
+        return cv2.cvtColor(rgb_resized, cv2.COLOR_RGB2YUV_I420)
+    raise ValueError(f"unknown pixel_format {pixel_format!r}")
+
 
 def _resize(frame: np.ndarray, width: int, height: int) -> np.ndarray:
     if frame.shape[0] == height and frame.shape[1] == width:
@@ -32,10 +52,12 @@ def _to_float_rgb(frame: np.ndarray) -> np.ndarray:
 class FrameDirSource:
     """Reads a directory of image files (sorted lexicographically)."""
 
-    def __init__(self, path: str, width: int, height: int):
+    def __init__(self, path: str, width: int, height: int,
+                 pixel_format: str = "float"):
         self.path = path
         self.width = width
         self.height = height
+        self.pixel_format = pixel_format
         self.files: List[str] = sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
@@ -52,7 +74,7 @@ class FrameDirSource:
 
         bgr = cv2.imread(self.files[idx], cv2.IMREAD_COLOR)
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        return _to_float_rgb(_resize(rgb, self.width, self.height))
+        return _emit(_resize(rgb, self.width, self.height), self.pixel_format)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         for i in range(len(self)):
@@ -66,13 +88,15 @@ class VideoFrameSource:
     answer for full colonoscopies (SURVEY.md §5.7).
     """
 
-    def __init__(self, path: str, width: int, height: int, stride: int = 1):
+    def __init__(self, path: str, width: int, height: int, stride: int = 1,
+                 pixel_format: str = "float"):
         import cv2
 
         self.path = path
         self.width = width
         self.height = height
         self.stride = stride
+        self.pixel_format = pixel_format
         cap = cv2.VideoCapture(path)
         if not cap.isOpened():
             raise FileNotFoundError(f"cannot open video {path}")
@@ -94,7 +118,8 @@ class VideoFrameSource:
                     return
                 if idx % self.stride == 0:
                     rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-                    yield _to_float_rgb(_resize(rgb, self.width, self.height))
+                    yield _emit(_resize(rgb, self.width, self.height),
+                                self.pixel_format)
                 idx += 1
         finally:
             cap.release()
@@ -116,10 +141,13 @@ class ArraySource:
         return iter(self.frames)
 
 
-def open_source(path_or_array, width: int, height: int, stride: int = 1):
+def open_source(path_or_array, width: int, height: int, stride: int = 1,
+                pixel_format: str = "float"):
     """Open a frame source from a path (dir or video file) or array."""
     if isinstance(path_or_array, np.ndarray):
         return ArraySource(path_or_array)
     if os.path.isdir(path_or_array):
-        return FrameDirSource(path_or_array, width, height)
-    return VideoFrameSource(path_or_array, width, height, stride)
+        return FrameDirSource(path_or_array, width, height,
+                              pixel_format=pixel_format)
+    return VideoFrameSource(path_or_array, width, height, stride,
+                            pixel_format=pixel_format)

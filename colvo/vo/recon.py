@@ -108,7 +108,10 @@ def stitch_pointclouds(
         all_pts.append(pts_w.astype(np.float32))
         if frames is not None:
             col = np.asarray(frames[fid])[::stride, ::stride].reshape(-1, 3)[valid]
-            all_cols.append(col.astype(np.float32))
+            col = col.astype(np.float32)
+            if col.size and col.max() > 1.5:  # uint8 frames (rgb8 sources)
+                col = col / 255.0
+            all_cols.append(col)
     pts = np.concatenate(all_pts)
     cols = np.concatenate(all_cols) if all_cols else None
     pts, cols = voxel_downsample(pts, voxel, cols)

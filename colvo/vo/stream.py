@@ -94,18 +94,24 @@ def rgb_to_i420(frames: np.ndarray) -> np.ndarray:
     return out
 
 
-def _i420_to_rgb_device(x: jnp.ndarray) -> jnp.ndarray:
+def _i420_to_rgb_device(x: jnp.ndarray, video_range: bool = False) -> jnp.ndarray:
     """Planar I420 (B, H·3/2, W) uint8 → RGB float (B, H, W, 3) in [0, 1].
 
-    Inverse of :func:`rgb_to_i420` (full-range BT.601), nearest chroma
-    upsample. Pure VPU elementwise + broadcast — negligible next to the
-    conv stacks it feeds.
+    ``video_range=False``: inverse of :func:`rgb_to_i420` — full-range
+    BT.601, the JPEG/MJPEG convention. ``video_range=True``: limited-range
+    (studio-swing) BT.601, Y∈[16,235] — what H.26x decoders and
+    ``cv2.COLOR_RGB2YUV_I420`` emit. Nearest chroma upsample; pure VPU
+    elementwise + broadcast — negligible next to the conv stacks it feeds.
     """
     b, h32, w = x.shape
     h = h32 * 2 // 3
     y = x[:, :h, :].astype(jnp.float32)
     u = x[:, h:h + h // 4, :].reshape(b, h // 2, w // 2).astype(jnp.float32) - 128.0
     v = x[:, h + h // 4:, :].reshape(b, h // 2, w // 2).astype(jnp.float32) - 128.0
+    if video_range:
+        y = (y - 16.0) * (255.0 / 219.0)
+        u = u * (255.0 / 224.0)
+        v = v * (255.0 / 224.0)
 
     def up2(c):  # nearest 2× chroma upsample, broadcast-only
         c = jnp.broadcast_to(c[:, :, None, :, None], (b, h // 2, 2, w // 2, 2))
@@ -125,8 +131,8 @@ def _build_stream_fns(runner: InferenceRunner, wire_dt: jnp.dtype,
     quantized = wire_dt == jnp.uint8
 
     def _normalize(frames):
-        if input_format == "i420":
-            return _i420_to_rgb_device(frames)
+        if input_format in ("i420", "i420tv"):
+            return _i420_to_rgb_device(frames, video_range=input_format == "i420tv")
         imgs = frames.astype(jnp.float32)
         if frames.dtype == jnp.uint8:
             imgs = imgs / 255.0
@@ -213,7 +219,7 @@ class StreamingVO:
         self.chunk_size = int(chunk_size)
         self.fetch_workers = int(fetch_workers)
         self.input_format = input_format
-        assert input_format in ("rgb", "i420"), input_format
+        assert input_format in ("rgb", "i420", "i420tv"), input_format
         self.wire_dt = jnp.dtype(depth_dtype)
         assert self.wire_dt.itemsize in (1, 2, 4), depth_dtype
         cache = runner.__dict__.setdefault("_stream_fn_cache", {})
@@ -280,7 +286,7 @@ class StreamingVO:
         except StopIteration:
             return [], np.zeros((0, 6), np.float32)
 
-        if self.input_format == "i420":
+        if self.input_format in ("i420", "i420tv"):
             # planar (H·3/2, W) uint8 in; depths decode at the RGB size
             hw = (first.shape[0] * 2 // 3, first.shape[1])
         else:

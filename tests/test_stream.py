@@ -120,6 +120,45 @@ def test_stream_i420_input_close_to_rgb(tiny_runner):
     np.testing.assert_allclose(np.stack(d_r), np.stack(d_y), rtol=0.1, atol=2e-2)
 
 
+def test_i420tv_matches_cv2_decode():
+    """Limited-range I420 device decode ("i420tv") == cv2's own YUV→RGB
+    (the format video decoders and cv2.COLOR_RGB2YUV_I420 emit)."""
+    import cv2
+    from colvo.vo.stream import _i420_to_rgb_device
+
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(yy * 2) % 256, (xx * 2) % 256, (yy + xx) % 256], -1).astype(np.uint8)
+    i420 = cv2.cvtColor(img, cv2.COLOR_RGB2YUV_I420)
+    ours = np.asarray(_i420_to_rgb_device(jax.numpy.asarray(i420[None]),
+                                          video_range=True))[0]
+    cv2_rgb = cv2.cvtColor(i420, cv2.COLOR_YUV2RGB_I420).astype(np.float32) / 255.0
+    # cv2 uses fixed-point coefficients + bilinear chroma upsample vs our
+    # float + nearest: agree to a few /255 everywhere
+    assert np.abs(ours - cv2_rgb).mean() < 0.01
+    assert np.abs(ours - img.astype(np.float32) / 255.0).mean() < 0.02
+
+
+def test_video_source_pixel_formats(tmp_path):
+    """Frame sources emit float / uint8 RGB / planar I420 as configured."""
+    import cv2
+    from colvo.data import FrameDirSource
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        cv2.imwrite(str(d / f"{i:04d}.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    f_float = FrameDirSource(str(d), 48, 32)[0]
+    assert f_float.dtype == np.float32 and f_float.shape == (32, 48, 3)
+    f_u8 = FrameDirSource(str(d), 48, 32, pixel_format="rgb8")[0]
+    assert f_u8.dtype == np.uint8 and f_u8.shape == (32, 48, 3)
+    np.testing.assert_allclose(f_float, f_u8.astype(np.float32) / 255.0, atol=1e-6)
+    f_i420 = FrameDirSource(str(d), 48, 32, pixel_format="i420")[0]
+    assert f_i420.dtype == np.uint8 and f_i420.shape == (48, 48)  # (H*3/2, W)
+
+
 def test_run_vo_fast_path_matches_legacy_loop(tiny_runner, frames):
     """run_vo(InferenceRunner) streaming result == the per-pair driver loop."""
     runner, _ = tiny_runner
