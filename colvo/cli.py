@@ -84,6 +84,9 @@ def main(argv=None) -> int:
 
     if args.command == "train":
         cfg = _load_cfg(args, overrides)
+        from colvo.runtime import maybe_init_distributed
+
+        maybe_init_distributed()  # multi-host SPMD when under a pod runtime
         from colvo.pipelines import train
 
         train(cfg, log_dir=args.log_dir, max_steps=args.max_steps, resume=args.resume)

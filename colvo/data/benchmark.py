@@ -128,7 +128,10 @@ def load_benchmark_sequence(
     frames = []
     src_wh = None
     for f in files:
-        bgr = cv2.imread(os.path.join(rgb_dir, f), cv2.IMREAD_COLOR)
+        fp = os.path.join(rgb_dir, f)
+        bgr = cv2.imread(fp, cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError(f"unreadable image {fp}")
         src_wh = (bgr.shape[1], bgr.shape[0])
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         frames.append(_to_float_rgb(_resize(rgb, width, height)))
@@ -154,23 +157,27 @@ def load_benchmark_sequence(
                 d = np.load(p).astype(np.float32)
             elif f.lower().endswith(".png"):
                 raw = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+                if raw is None:
+                    raise ValueError(f"unreadable depth image {p}")
                 d = raw.astype(np.float32) * png_scale
             else:
                 continue
             depths.append(_nearest_resize(d, width, height))
         if depths:
             gt_depths = np.stack(depths)
-            assert len(gt_depths) == len(frames), (
-                f"{seq_dir}: {len(gt_depths)} depths vs {len(frames)} frames"
-            )
+            if len(gt_depths) != len(frames):
+                raise ValueError(
+                    f"{seq_dir}: {len(gt_depths)} depths vs {len(frames)} frames"
+                )
 
     gt_poses = None
     pose_path = os.path.join(seq_dir, "poses.txt")
     if os.path.exists(pose_path):
         gt_poses = _load_poses(pose_path)
-        assert len(gt_poses) == len(frames), (
-            f"{seq_dir}: {len(gt_poses)} poses vs {len(frames)} frames"
-        )
+        if len(gt_poses) != len(frames):
+            raise ValueError(
+                f"{seq_dir}: {len(gt_poses)} poses vs {len(frames)} frames"
+            )
 
     return BenchmarkSequence(
         name=os.path.basename(seq_dir.rstrip("/")),

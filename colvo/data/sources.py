@@ -20,7 +20,7 @@ _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 #             normalizes on device — use this for run_vo)
 #   "i420"  — planar uint8 YUV 4:2:0, limited-range BT.601 as video
 #             decoders emit it (another 2× cheaper; pair with
-#             run_vo(input_format="i420tv"))
+#             run_vo(input_format="i420"))
 
 
 def _emit(rgb_resized: np.ndarray, pixel_format: str) -> np.ndarray:

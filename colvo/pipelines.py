@@ -266,28 +266,24 @@ def evaluate_dataset(
     metrics: Dict[str, float] = {}
     depth_accum: Dict[str, List[float]] = {}
     pose_accum: Dict[str, List[float]] = {}
-    for idx, name in enumerate(names):
+    need_depth_fig = True
+    need_pose_fig = True
+    for name in names:
         seq = load_benchmark_sequence(
             os.path.join(data_root, name), cfg.data.width, cfg.data.height
         )
-        if seq.gt_depths is not None:
-            dm, preds = evaluate_depth(runner, seq.frames, seq.gt_depths, cfg)
-            for k, v in dm.items():
-                metrics[f"{name}/depth/{k}"] = v
-                depth_accum.setdefault(k, []).append(v)
-            if idx == 0:
-                viz_depth_grid(
-                    seq.frames[0], seq.gt_depths[0], {"ColVO(ours)": preds[0]},
-                    os.path.join(out_dir, f"qualitative_depth_{name}.png"),
-                    max_depth=cfg.eval.depth_cap,
-                )
+        vo = None
         if seq.gt_poses is not None:
-            vo = run_vo(runner, list(seq.frames), keyframe_every=4)
+            # One coupled streaming pass covers both evaluations: its
+            # per-frame depth maps (float16 wire, ~5e-4 relative — far
+            # below metric resolution) feed E1 below, so the depth network
+            # doesn't run twice per sequence.
+            vo = run_vo(runner, list(seq.frames), keyframe_every=1)
             pm = evaluate_pose(vo.poses, seq.gt_poses)
             for k, v in pm.items():
                 metrics[f"{name}/pose/{k}"] = v
                 pose_accum.setdefault(k, []).append(v)
-            if idx == 0:
+            if need_pose_fig:
                 from colvo.vo import align_trajectory
 
                 aligned = align_trajectory(
@@ -298,6 +294,26 @@ def evaluate_dataset(
                      "ColVO(ours)": aligned},
                     os.path.join(out_dir, f"trajectory_{name}.png"),
                 )
+                need_pose_fig = False
+        if seq.gt_depths is not None:
+            if vo is not None and len(vo.depths) == len(seq.frames):
+                preds = np.stack(vo.depths)
+                dm = compute_depth_errors(
+                    seq.gt_depths, preds, max_depth=cfg.eval.depth_cap,
+                    median_scaling=cfg.eval.median_scaling,
+                )
+            else:
+                dm, preds = evaluate_depth(runner, seq.frames, seq.gt_depths, cfg)
+            for k, v in dm.items():
+                metrics[f"{name}/depth/{k}"] = v
+                depth_accum.setdefault(k, []).append(v)
+            if need_depth_fig:
+                viz_depth_grid(
+                    seq.frames[0], seq.gt_depths[0], {"ColVO(ours)": preds[0]},
+                    os.path.join(out_dir, f"qualitative_depth_{name}.png"),
+                    max_depth=cfg.eval.depth_cap,
+                )
+                need_depth_fig = False
     for k, vs in depth_accum.items():
         metrics[f"mean/depth/{k}"] = float(np.mean(vs))
     for k, vs in pose_accum.items():

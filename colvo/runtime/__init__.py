@@ -9,6 +9,7 @@ from colvo.runtime.train_step import (
 )
 from colvo.runtime.mesh import (
     make_mesh,
+    maybe_init_distributed,
     batch_sharding,
     replicated,
     shard_batch,
@@ -32,6 +33,7 @@ __all__ = [
     "make_train_step",
     "make_scan_train",
     "make_mesh",
+    "maybe_init_distributed",
     "batch_sharding",
     "replicated",
     "shard_batch",

@@ -20,6 +20,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from colvo.config import MeshConfig
 
 
+def maybe_init_distributed() -> bool:
+    """Initialize multi-host SPMD when launched under a pod runtime.
+
+    Call once at process start (the CLI does). Uses the standard JAX
+    cluster auto-detection (``jax.distributed.initialize`` reads the TPU
+    pod/GKE/Slurm environment); afterwards ``jax.devices()`` spans all
+    hosts and the same mesh/sharding program runs SPMD with XLA routing
+    inter-slice traffic over DCN (SURVEY.md §5.8). No-op on a single
+    host. Returns True when distributed mode was initialized.
+    """
+    import os
+    import warnings
+
+    # Env check BEFORE any jax call — jax.distributed.initialize() must
+    # run before the XLA backend initializes. An explicit coordinator (or
+    # COLVO_MULTIHOST=1 with pod auto-detection) is required:
+    # single-host TPU VMs also export worker-topology vars, so topology
+    # alone must not trigger multi-host mode.
+    if not (
+        os.environ.get("COLVO_MULTIHOST") == "1"
+        or any(v in os.environ for v in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        ))
+    ):
+        return False
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:  # backend already up, or no cluster found
+        warnings.warn(f"multi-host init skipped: {e}")
+        return False
+    return jax.process_count() > 1
+
+
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     """1-D data-parallel mesh over the slice's chips (ICI-connected)."""
     cfg = cfg or MeshConfig()

@@ -146,6 +146,11 @@ def run_vo(
             keyframe_ids=ids,
         )
 
+    if input_format != "rgb":
+        raise ValueError(
+            "planar I420 input is only supported on the streaming fast path "
+            "(InferenceRunner); the per-pair duck-typed path takes RGB frames"
+        )
     it = iter(frames)
     try:
         prev = next(it)

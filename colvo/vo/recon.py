@@ -107,9 +107,9 @@ def stitch_pointclouds(
         pts_w = pts_cam @ pose[:3, :3].T + pose[:3, 3]
         all_pts.append(pts_w.astype(np.float32))
         if frames is not None:
-            col = np.asarray(frames[fid])[::stride, ::stride].reshape(-1, 3)[valid]
-            col = col.astype(np.float32)
-            if col.size and col.max() > 1.5:  # uint8 frames (rgb8 sources)
+            fr = np.asarray(frames[fid])
+            col = fr[::stride, ::stride].reshape(-1, 3)[valid].astype(np.float32)
+            if fr.dtype == np.uint8:  # rgb8 sources
                 col = col / 255.0
             all_cols.append(col)
     pts = np.concatenate(all_pts)

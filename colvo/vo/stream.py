@@ -12,7 +12,9 @@ more. This module restructures streaming VO around the hardware:
   * **video-native I420 input** (``input_format="i420"``) — H.26x/VP9
     decoders emit YUV 4:2:0, not RGB: accepting the decoder's planar I420
     buffer directly is another 2× off host→device bytes (1.5 B/px vs 3),
-    with the BT.601 color transform + chroma upsample done on device (a
+    with the BT.601 color transform (limited-range by default — the video
+    convention; ``"i420full"`` for JPEG-range sources) + chroma upsample
+    done on device (a
     few VPU multiplies). Chroma subsampling is a property of the source
     video, so this is byte-for-byte what an RGB-converting decode path
     would feed the model anyway;
@@ -70,20 +72,33 @@ def _to_u8_bits(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
 
 
-def rgb_to_i420(frames: np.ndarray) -> np.ndarray:
+def rgb_to_i420(frames: np.ndarray, video_range: bool = True) -> np.ndarray:
     """Pack uint8 RGB frames (N, H, W, 3) into planar I420 (N, H·3/2, W).
 
-    Full-range BT.601 (the JPEG/MJPEG convention); H and W must be even.
-    Host-side helper for tests/benchmarks — real deployments take I420
-    straight from the video decoder, which emits it natively.
+    ``video_range=True`` (default): limited-range (studio-swing) BT.601,
+    Y∈[16,235] — the convention H.26x/VP9 decoders and cv2 use, and what
+    ``input_format="i420"`` decodes. ``video_range=False``: full-range
+    (the JPEG/MJPEG convention), pair with ``input_format="i420full"``.
+    H must be a multiple of 4 and W even — the (H·3/2, W) row-packed view
+    of the planar buffer requires the U/V planes to land on row
+    boundaries. Host-side helper for tests/benchmarks — real deployments
+    take I420 straight from the video decoder, which emits it natively.
     """
     n, h, w, _ = frames.shape
-    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    if h % 4 or w % 2:
+        raise ValueError(
+            f"I420 (H*3/2, W) packing needs H % 4 == 0 and W % 2 == 0, got {(h, w)}"
+        )
     f = frames.astype(np.float32)
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b
+    if video_range:
+        y = 16.0 + y * (219.0 / 255.0)
+        u = u * (224.0 / 255.0)
+        v = v * (224.0 / 255.0)
+    u, v = u + 128.0, v + 128.0
     # 2×2 chroma average then subsample (the standard 4:2:0 down-filter)
     u = u.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
     v = v.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
@@ -94,14 +109,15 @@ def rgb_to_i420(frames: np.ndarray) -> np.ndarray:
     return out
 
 
-def _i420_to_rgb_device(x: jnp.ndarray, video_range: bool = False) -> jnp.ndarray:
+def _i420_to_rgb_device(x: jnp.ndarray, video_range: bool = True) -> jnp.ndarray:
     """Planar I420 (B, H·3/2, W) uint8 → RGB float (B, H, W, 3) in [0, 1].
 
-    ``video_range=False``: inverse of :func:`rgb_to_i420` — full-range
-    BT.601, the JPEG/MJPEG convention. ``video_range=True``: limited-range
+    ``video_range=True`` (default, ``input_format="i420"``): limited-range
     (studio-swing) BT.601, Y∈[16,235] — what H.26x decoders and
-    ``cv2.COLOR_RGB2YUV_I420`` emit. Nearest chroma upsample; pure VPU
-    elementwise + broadcast — negligible next to the conv stacks it feeds.
+    ``cv2.COLOR_RGB2YUV_I420`` emit. ``video_range=False``
+    (``input_format="i420full"``): full-range BT.601, the JPEG/MJPEG
+    convention. Nearest chroma upsample; pure VPU elementwise + broadcast
+    — negligible next to the conv stacks it feeds.
     """
     b, h32, w = x.shape
     h = h32 * 2 // 3
@@ -131,8 +147,8 @@ def _build_stream_fns(runner: InferenceRunner, wire_dt: jnp.dtype,
     quantized = wire_dt == jnp.uint8
 
     def _normalize(frames):
-        if input_format in ("i420", "i420tv"):
-            return _i420_to_rgb_device(frames, video_range=input_format == "i420tv")
+        if input_format in ("i420", "i420full"):
+            return _i420_to_rgb_device(frames, video_range=input_format == "i420")
         imgs = frames.astype(jnp.float32)
         if frames.dtype == jnp.uint8:
             imgs = imgs / 255.0
@@ -219,7 +235,7 @@ class StreamingVO:
         self.chunk_size = int(chunk_size)
         self.fetch_workers = int(fetch_workers)
         self.input_format = input_format
-        assert input_format in ("rgb", "i420", "i420tv"), input_format
+        assert input_format in ("rgb", "i420", "i420full"), input_format
         self.wire_dt = jnp.dtype(depth_dtype)
         assert self.wire_dt.itemsize in (1, 2, 4), depth_dtype
         cache = runner.__dict__.setdefault("_stream_fn_cache", {})
@@ -286,7 +302,7 @@ class StreamingVO:
         except StopIteration:
             return [], np.zeros((0, 6), np.float32)
 
-        if self.input_format in ("i420", "i420tv"):
+        if self.input_format in ("i420", "i420full"):
             # planar (H·3/2, W) uint8 in; depths decode at the RGB size
             hw = (first.shape[0] * 2 // 3, first.shape[1])
         else:

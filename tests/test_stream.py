@@ -120,8 +120,8 @@ def test_stream_i420_input_close_to_rgb(tiny_runner):
     np.testing.assert_allclose(np.stack(d_r), np.stack(d_y), rtol=0.1, atol=2e-2)
 
 
-def test_i420tv_matches_cv2_decode():
-    """Limited-range I420 device decode ("i420tv") == cv2's own YUV→RGB
+def test_i420_limited_range_matches_cv2_decode():
+    """Limited-range I420 device decode (the "i420" default) == cv2's YUV→RGB
     (the format video decoders and cv2.COLOR_RGB2YUV_I420 emit)."""
     import cv2
     from colvo.vo.stream import _i420_to_rgb_device
