@@ -78,6 +78,12 @@ class LossConfig:
     #   resolution (4–64× less warp work at scales 1–3; the constraint is
     #   scale-local — overfit trajectories match the full-res protocol to
     #   <1% while cutting the gather+scatter cost ~3×)
+    geo_res_cap: int = 64  # max geo-grid height (native-scale protocol):
+    #   grids taller than this are 2x mean-pooled until they fit. The
+    #   depth-warp gather + scatter-add backward is the most expensive op
+    #   in the step (measured 216 of 299 ms at 256x320); the consistency
+    #   field is low-frequency, so capping trades nothing measurable on
+    #   the overfit/eval fixtures for a ~3x faster train step. 0 = no cap.
     geo_stopgrad: bool = False  # True: stop-gradient the warped source
     #   depth (pseudo-label consistency) — enables the Pallas
     #   no-source-grad sampler on TPU instead of XLA gather + scatter-add

@@ -1,9 +1,10 @@
 """Pallas TPU bilinear-sampling kernel (SURVEY.md component K1, first stage).
 
 XLA's general gather lowering dominates the warp+loss path on TPU
-(measured: 29 ms of a 30 ms forward at B=12, 256×320 — the projection math
-is 1.9 ms and the fused loss 2.4 ms). This kernel replaces the four flat
-gathers of ``colvo.geometry.ops.bilinear_sample`` with a TPU-native scheme
+(measured with the serial-chain slope protocol: 29.3 ms forward for one
+B=12 256×320×3 warp vs 5.6 ms for this kernel; the XLA full-gradient
+variant — gather + scatter-add backward — costs 187 ms). This kernel
+replaces the four flat gathers of ``colvo.geometry.ops.bilinear_sample`` with a TPU-native scheme
 built on the one gather Mosaic supports natively: **lane-dimension
 (within-row) dynamic gather**.
 

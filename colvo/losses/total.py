@@ -42,6 +42,12 @@ def _scale_k(k: jnp.ndarray, sx: float, sy: float) -> jnp.ndarray:
     return k * s[:, None]
 
 
+def _halve(x: jnp.ndarray) -> jnp.ndarray:
+    """2× mean-pool on a (B, H, W, C) map (reshape-mean — no gather)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
 def _upsample_to(disp: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """Nearest-upsample a lower-scale disparity to full resolution."""
     factor = height // disp.shape[1]
@@ -165,15 +171,26 @@ def snippet_loss(
                 else:
                     # Native-scale protocol: the constraint is scale-local,
                     # so evaluate it on each scale's own grid — 4–64× less
-                    # warp work at scales 1–3 (the warp gather dominates
-                    # the train step otherwise; measured 5.4 of 7.9 ms).
-                    h_g, w_g = disp_s.shape[1], disp_s.shape[2]
+                    # warp work at scales 1–3. ``geo_res_cap`` additionally
+                    # halves the grid (2× mean-pool on disparity) until its
+                    # height fits the cap: the XLA depth-warp gather +
+                    # scatter-add backward is the single most expensive op
+                    # in the train step (measured 216 of 299 ms at B=12
+                    # 256×320, serial-chain protocol), and the consistency
+                    # field it constrains is low-frequency.
+                    g_disp_t = disp_s
+                    g_disp_s = disps[s + 1][scale]
+                    if loss_cfg.geo_res_cap > 0:
+                        while g_disp_t.shape[1] > loss_cfg.geo_res_cap:
+                            g_disp_t = _halve(g_disp_t)
+                            g_disp_s = _halve(g_disp_s)
+                    h_g, w_g = g_disp_t.shape[1], g_disp_t.shape[2]
                     k_g = _scale_k(k, w_g / width, h_g / height)
                     _, depth_g = disp_to_depth(
-                        disp_s[..., 0], model_cfg.min_depth, model_cfg.max_depth
+                        g_disp_t[..., 0], model_cfg.min_depth, model_cfg.max_depth
                     )
                     _, src_depth_g = disp_to_depth(
-                        disps[s + 1][scale][..., 0],
+                        g_disp_s[..., 0],
                         model_cfg.min_depth,
                         model_cfg.max_depth,
                     )

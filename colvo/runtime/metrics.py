@@ -5,10 +5,10 @@ TF is importable, and stdout lines. Logged per step: total/per-term losses,
 LR, grad-norm, step-time, fps; per eval: depth metric table, ATE.
 
 ``AsyncMetricsLogger`` moves the device→host metric fetch off the training
-loop's critical path: fetching freshly computed scalars while the dispatch
-queue is deep serializes against it and costs seconds through a slow host
-link (measured: a 6-scalar fetch every 10 steps inflated a 2.9 ms step to
-7.2 s). A daemon thread performs the blocking fetch + write; the loop only
+loop's critical path: a synchronous fetch of freshly computed scalars
+drains the whole dispatch queue through a slow host link (a single sync
+costs up to ~1 s through this environment's tunnel). A daemon thread
+performs the blocking fetch + write; the loop only
 enqueues device arrays (non-blocking, drop-oldest beyond a small backlog).
 The NaN-abort guard (§5.3) consequently fires a few steps late — the
 thread sets a flag the loop checks each step.

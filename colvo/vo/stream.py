@@ -1,10 +1,9 @@
 """Chunked streaming VO executor — the TPU-native config-5 hot path.
 
 The naive per-pair VO loop (one ``infer_coupled`` call per frame pair with
-host numpy inputs) is host-link bound, not compute bound: on the real chip
-the coupled depth+pose graph takes ~0.3 ms for 8 pairs, while feeding two
-float32 frame batches from host per call costs two orders of magnitude
-more. This module restructures streaming VO around the hardware:
+host numpy inputs) is host-link bound: feeding float32 frame batches from
+host per pair costs far more than the coupled depth+pose compute. This
+module restructures streaming VO around the hardware:
 
   * **uint8 on the wire in** — frames cross host→HBM as uint8 (4× less
     link traffic than float32; decoders produce uint8 anyway) and are

@@ -1,17 +1,16 @@
-"""Train-step throughput microbenchmark (dispatched pipeline protocol).
+"""Train-step timing: serial-chain slope protocol (the only honest one here).
 
-Protocol: dispatch N independent step executions back-to-back with NO
-per-step host sync, then block once at the end — per the measured behavior
-of this environment's tunneled host↔device link, where every sync costs
-~0.8 s (a synced loop measures the tunnel: 789 ms/step vs the true ~2 ms).
-Platform caveat recorded 2026-08-17: wrapping the step in an outer
-jit+``lax.scan`` compiles to a pathologically slow program on the "axon"
-TPU platform (~170× slower than dispatched), and ``block_until_ready`` has
-returned early on some scan outputs — so this script intentionally times
-dispatched executions, which match the production loop's observed
-steps/s.
+On this environment's "axon" TPU platform ``jax.block_until_ready`` can
+return before execution finishes, so block-based timings are meaningless
+(they once reported a 340 ms step as 2 ms). The reliable protocol:
 
-Usage: python scripts/bench_train.py [--steps 50] [--<config overrides>]
+  1. thread the train state serially through N dispatched steps (a real
+     data dependency — nothing can be elided or overlapped away),
+  2. force completion with ONE ``float()`` fetch of the last loss,
+  3. measure at two N values and take the slope — the per-step time with
+     the constant fetch/dispatch overhead cancelled.
+
+Usage: python scripts/bench_train.py [--n1 10 --n2 50] [--<config overrides>]
 Prints one JSON line: {"step_ms": ..., "steps_per_s": ...}.
 """
 
@@ -36,11 +35,16 @@ def main(argv=None):
     from colvo.runtime import init_state, make_optimizer, make_train_step
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    n_steps = 50
-    if "--steps" in argv:
-        i = argv.index("--steps")
-        n_steps = int(argv[i + 1])
-        del argv[i : i + 2]
+
+    def intflag(name, default):
+        if name in argv:
+            i = argv.index(name)
+            v = int(argv[i + 1])
+            del argv[i : i + 2]
+            return v
+        return default
+
+    n1, n2 = intflag("--n1", 10), intflag("--n2", 50)
     cfg = ColvoConfig()
     if argv:
         cfg.apply_overrides(argv)
@@ -54,24 +58,29 @@ def main(argv=None):
     ds = SnippetDataset([seq.frames], [seq.k], cfg.data.frame_offsets)
     batch = jax.tree.map(jnp.asarray, next(batch_iterator(ds, cfg.data, seed=0)))
 
-    # warm/compile (donated state: keep threading the returned one)
     state, m = step_fn(state, batch)
-    jax.block_until_ready(m["loss/total"])
+    float(m["loss/total"])  # compile + warm (real fetch)
+
+    def chain(n):
+        nonlocal state
+        t0 = time.time()
+        last = None
+        for _ in range(n):
+            state, m = step_fn(state, batch)
+            last = m["loss/total"]
+        float(last)  # one real fetch completes the chain
+        return time.time() - t0
 
     best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        outs = []
-        for _ in range(n_steps):
-            state, m = step_fn(state, batch)
-            outs.append(m["loss/total"])
-        jax.block_until_ready(outs)
-        best = min(best, (time.time() - t0) / n_steps)
+    for _ in range(2):
+        t1, t2 = chain(n1), chain(n2)
+        best = min(best, (t2 - t1) / (n2 - n1))
     print(json.dumps({
-        "step_ms": round(best * 1e3, 3),
+        "step_ms": round(best * 1e3, 2),
         "steps_per_s": round(1.0 / best, 1),
         "batch": cfg.data.batch_size,
         "hw": [cfg.data.height, cfg.data.width],
+        "protocol": "serial-chain slope",
     }))
 
 
