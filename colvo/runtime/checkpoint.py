@@ -55,19 +55,28 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def export_params(params: Any, path: str) -> None:
+def export_params(params: Any, path: str) -> str:
     """Export inference-only weights as a flat .npz (portable, no Orbax
-    needed to load — the README.md:17 'distributable weights' analog)."""
+    needed to load — the README.md:17 'distributable weights' analog).
+
+    ``np.savez`` silently appends ``.npz`` to other suffixes, so the
+    extension is normalized here; returns the actual path written."""
     import flax
 
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     flat = flax.traverse_util.flatten_dict(params, sep="/")
     np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+    return path
 
 
 def load_params(path: str) -> Any:
     """Load a .npz exported by :func:`export_params` back into a pytree."""
     import flax
+    import os
 
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
     return flax.traverse_util.unflatten_dict(flat, sep="/")

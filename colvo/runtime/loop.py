@@ -136,6 +136,13 @@ def train(
                 f"aborting: {logger.bad_steps} consecutive non-finite losses"
             )
         if step % cfg.train.log_every == 0 or step == total_steps:
+            # Sync to the current step before reading the clock: dispatch
+            # runs far ahead of execution, and on this platform
+            # block_until_ready can return early — only an actual value
+            # fetch pins the wall clock to computed work, making
+            # steps_per_sec honest (costs one link round trip per
+            # log_every steps).
+            float(metrics["loss/total"])
             now = time.time()
             sps = cfg.train.log_every / max(now - t_last, 1e-9)
             t_last = now

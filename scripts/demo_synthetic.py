@@ -44,8 +44,8 @@ def main(max_steps=12000, out_dir="runs/demo"):
     model, state = train_loop(cfg, ds, log_dir=os.path.join(out_dir, "train"),
                               max_steps=max_steps)
     print(f"trained {max_steps} steps in {time.time()-t0:.0f}s")
-    weights = os.path.join(out_dir, "weights.msgpack")
-    export_params(jax.tree.map(np.asarray, state.params), weights)
+    weights = export_params(jax.tree.map(np.asarray, state.params),
+                            os.path.join(out_dir, "weights.npz"))
 
     metrics = evaluate_synthetic(cfg, weights=weights,
                                  out_dir=os.path.join(out_dir, "eval"))
