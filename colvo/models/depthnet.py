@@ -86,19 +86,35 @@ class ColVOModel(nn.Module):
         return self.pose_decoder(bottleneck)
 
     def __call__(self, frames: jnp.ndarray):
-        n_frames = frames.shape[1]
-        disps = []
-        bottlenecks = []
-        for i in range(n_frames):
-            d, b = self.depth_net(frames[:, i])
-            disps.append(d)
-            bottlenecks.append(b)
+        b, n_frames, h, w, c = frames.shape
+        # One batched depth pass over all snippet frames ((B·F) batch, not
+        # F separate B-batches): small-channel convs at these resolutions
+        # utilize the MXU much better at larger batch, and per-sample
+        # GroupNorm makes batching numerically equivalent.
+        d_flat, bneck_flat = self.depth_net(frames.reshape(b * n_frames, h, w, c))
+        disps = [
+            {s: v.reshape(b, n_frames, *v.shape[1:])[:, i] for s, v in d_flat.items()}
+            for i in range(n_frames)
+        ]
+        bottlenecks = [
+            bneck_flat.reshape(b, n_frames, *bneck_flat.shape[1:])[:, i]
+            for i in range(n_frames)
+        ]
 
-        poses = []
-        for s in range(1, n_frames):
-            feats = [bottlenecks[0], bottlenecks[s]] if self.cfg.dcdp_fusion else None
-            # Family convention: temporal order into the pose encoder. The
-            # caller knows which sources are past frames (and inverts).
-            aa, tr = self.pose(frames[:, 0], frames[:, s], feats)
-            poses.append(jnp.concatenate([aa, tr], axis=-1))
-        return disps, jnp.stack(poses, axis=1)
+        # One batched pose pass over all (target, source) pairs, s-major.
+        n_sources = n_frames - 1
+        img_a = jnp.concatenate([frames[:, 0]] * n_sources, axis=0)
+        img_b = jnp.concatenate([frames[:, s] for s in range(1, n_frames)], axis=0)
+        if self.cfg.dcdp_fusion:
+            feats = [
+                jnp.concatenate([bottlenecks[0]] * n_sources, axis=0),
+                jnp.concatenate(bottlenecks[1:], axis=0),
+            ]
+        else:
+            feats = None
+        # Family convention: temporal order into the pose encoder. The
+        # caller knows which sources are past frames (and inverts).
+        aa, tr = self.pose(img_a, img_b, feats)
+        pose6 = jnp.concatenate([aa, tr], axis=-1)  # (S·B, 6)
+        poses = jnp.transpose(pose6.reshape(n_sources, b, 6), (1, 0, 2))
+        return disps, poses
