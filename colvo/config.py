@@ -84,6 +84,18 @@ class LossConfig:
     #   in the step (measured 216 of 299 ms at 256x320); the consistency
     #   field is low-frequency, so capping trades nothing measurable on
     #   the overfit/eval fixtures for a ~3x faster train step. 0 = no cap.
+    geo_grad: str = "both"  # gradient protocol for the sampled depth:
+    #   both — gradients flow through both the projected z and the sampled
+    #     source depth (family/SC-Depth semantics; XLA gather + scatter-add
+    #     backward on TPU). The only protocol that trains on the overfit
+    #     fixture — keep it unless experimenting.
+    #   sym — EXPERIMENTAL: evaluate the constraint in both warp
+    #     directions, each sampling the other frame's depth under
+    #     stop-gradient, so both warps use the Pallas coords-grad sampler
+    #     (no scatter backward, ~25 ms/step cheaper). Measured NEGATIVE on
+    #     the overfit fixture (loss 0.135→0.133 in 20 steps vs 0.135→0.100
+    #     for "both") — like one-sided stop-grad, the constraint appears
+    #     to need true gradient through the sampled side.
     geo_stopgrad: bool = False  # True: stop-gradient the warped source
     #   depth (pseudo-label consistency) — enables the Pallas
     #   no-source-grad sampler on TPU instead of XLA gather + scatter-add

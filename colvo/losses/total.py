@@ -196,19 +196,47 @@ def snippet_loss(
                     )
                     pts_g = backproject(depth_g, jnp.linalg.inv(k_g))
                     pix_g, z_g = project(pts_g, k_g, t_mat)
-                if loss_cfg.geo_stopgrad:
+                if loss_cfg.geo_grad == "sym" and not loss_cfg.geo_full_res:
+                    # Symmetric stop-gradient protocol: evaluate the
+                    # constraint in BOTH warp directions, each sampling the
+                    # other frame's depth under stop-gradient. Every depth
+                    # map still receives gradient (through its own
+                    # projected z in one of the two directions), but no
+                    # sampled map needs a source gradient — so both warps
+                    # take the Pallas coords-grad sampler instead of the
+                    # XLA gather + scatter-add backward. One-sided
+                    # stop-grad stalls training (config.py note); the
+                    # symmetric form restores the two-sided signal.
+                    sampled = bilinear_sample_fast(
+                        jax.lax.stop_gradient(src_depth_g)[..., None], pix_g
+                    )[..., 0]
+                    # reverse direction: source's points through the
+                    # inverse pose, sampling the (detached) target depth
+                    t_inv = jnp.linalg.inv(t_mat)
+                    pts_r = backproject(src_depth_g, jnp.linalg.inv(k_g))
+                    pix_r, z_r = project(pts_r, k_g, t_inv)
+                    sampled_r = bilinear_sample_fast(
+                        jax.lax.stop_gradient(depth_g)[..., None], pix_r
+                    )[..., 0]
+                    rvalid = _valid_mask(pix_r, h_g, w_g) * (z_r > 0)
+                    g_loss_r, _ = geometry_consistency(z_r, sampled_r, rvalid)
+                elif loss_cfg.geo_stopgrad:
                     # Pseudo-label consistency: no gradient into the warped
                     # source depth → the Pallas coords-grad sampler applies
                     # (no XLA gather + scatter-add backward on TPU).
                     sampled = bilinear_sample_fast(
                         jax.lax.stop_gradient(src_depth_g)[..., None], pix_g
                     )[..., 0]
+                    g_loss_r = None
                 else:
                     sampled = bilinear_sample(src_depth_g[..., None], pix_g)[..., 0]
+                    g_loss_r = None
                 gvalid = _valid_mask(pix_g, h_g, w_g) * (z_g > 0)
                 if loss_cfg.geo_full_res:
                     gvalid = gvalid * valid
                 g_loss, g_weight = geometry_consistency(z_g, sampled, gvalid)
+                if g_loss_r is not None:
+                    g_loss = 0.5 * (g_loss + g_loss_r)
                 if not loss_cfg.geo_full_res and height // h_g > 1:
                     up = height // h_g
                     g_weight = upsample_nearest(g_weight[..., None], up)[..., 0]
