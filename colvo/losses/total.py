@@ -8,8 +8,10 @@ constraint (L5). Follows the Monodepth2 multi-scale protocol: every scale's
 disparity is upsampled to full resolution and the loss is computed at full
 resolution (SURVEY.md §2.4 L6).
 
-This pure-XLA implementation is the semantics contract for the fused
-Pallas kernel path (``colvo.kernels``), selected via ``use_pallas``.
+The hot bilinear warps route through ``colvo.kernels.bilinear_sample_fast``
+(Pallas on TPU, XLA fallback elsewhere); sampling that needs source-image
+gradients (the default geometric-consistency protocol) uses the XLA
+sampler on a capped grid (``loss.geo_res_cap``).
 """
 
 from __future__ import annotations
