@@ -137,8 +137,8 @@ def main(argv=None) -> int:
         _, state = init_state(cfg, jax.random.key(0))
         mgr = CheckpointManager(args.ckpt_dir)
         state, step = mgr.restore(state)
-        export_params(state.params, args.out)
-        print(f"exported step-{step} params to {args.out}")
+        out = export_params(state.params, args.out)
+        print(f"exported step-{step} params to {out}")
     elif args.command == "import-torch":
         import jax
 
@@ -166,8 +166,8 @@ def main(argv=None) -> int:
             num_layers=cfg.model.num_layers,
             n_scales=cfg.model.n_scales,
         )
-        export_params(params, args.out)
-        print(f"imported family checkpoint {args.torch_dir} -> {args.out} "
+        out = export_params(params, args.out)
+        print(f"imported family checkpoint {args.torch_dir} -> {out} "
               f"(use with --model.norm=none --model.dcdp_fusion=false)")
     return 0
 

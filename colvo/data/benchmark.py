@@ -150,25 +150,34 @@ def load_benchmark_sequence(
             float(np.loadtxt(scale_path)) if os.path.exists(scale_path)
             else 1.0 / 65535.0
         )
-        depths = []
-        for f in sorted(os.listdir(depth_dir)):
-            p = os.path.join(depth_dir, f)
-            if f.endswith(".npy"):
-                d = np.load(p).astype(np.float32)
-            elif f.lower().endswith(".png"):
-                raw = cv2.imread(p, cv2.IMREAD_UNCHANGED)
-                if raw is None:
-                    raise ValueError(f"unreadable depth image {p}")
-                d = raw.astype(np.float32) * png_scale
-            else:
-                continue
-            depths.append(_nearest_resize(d, width, height))
-        if depths:
+        # Depth↔frame pairing is by basename stem, not sort order: a stray
+        # or missing depth file with a coincidentally matching count would
+        # silently misalign every frame against its GT otherwise.
+        depth_by_stem = {}
+        for f in os.listdir(depth_dir):
+            stem, ext = os.path.splitext(f)
+            if ext.lower() in (".npy", ".png"):
+                depth_by_stem[stem] = f
+        if depth_by_stem:
+            depths = []
+            for rgb_f in files:
+                stem = os.path.splitext(rgb_f)[0]
+                f = depth_by_stem.get(stem)
+                if f is None:
+                    raise FileNotFoundError(
+                        f"{depth_dir}: no GT depth named '{stem}.*' for frame "
+                        f"{rgb_f} (depths are matched to frames by stem)"
+                    )
+                p = os.path.join(depth_dir, f)
+                if f.endswith(".npy"):
+                    d = np.load(p).astype(np.float32)
+                else:
+                    raw = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+                    if raw is None:
+                        raise ValueError(f"unreadable depth image {p}")
+                    d = raw.astype(np.float32) * png_scale
+                depths.append(_nearest_resize(d, width, height))
             gt_depths = np.stack(depths)
-            if len(gt_depths) != len(frames):
-                raise ValueError(
-                    f"{seq_dir}: {len(gt_depths)} depths vs {len(frames)} frames"
-                )
 
     gt_poses = None
     pose_path = os.path.join(seq_dir, "poses.txt")

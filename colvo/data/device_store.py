@@ -111,10 +111,9 @@ class DeviceSnippetStore:
         self.sharding = sharding
 
         @jax.jit
-        def _assemble(frames, table, idx, key, augment: bool = True):
+        def _assemble(frames, table, idx):
             snippet_frames = frames[table[idx]]  # (B, F, H, W, 3) u8
-            f32 = snippet_frames.astype(jnp.float32) / 255.0
-            return f32
+            return snippet_frames.astype(jnp.float32) / 255.0
 
         self._assemble = _assemble
 
@@ -137,7 +136,7 @@ class DeviceSnippetStore:
             order = rng.permutation(self.n_snippets)
             for start in range(0, self.n_snippets - bsz + 1, bsz):
                 idx = jnp.asarray(order[start : start + bsz].astype(np.int32))
-                clean = self._assemble(self.frames, self.table, idx, key)
+                clean = self._assemble(self.frames, self.table, idx)
                 if self.sharding is not None:
                     # concrete array outside jit → device_put redistributes
                     clean = jax.device_put(clean, self.sharding)

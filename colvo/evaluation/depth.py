@@ -3,8 +3,9 @@
 The community-standard metric suite: Abs Rel, Sq Rel, RMSE, RMSE-log,
 δ<1.25/1.25²/1.25³, with per-image median scaling (monocular scale
 ambiguity) and a depth cap — plus the signed error maps the reference's
-``imgs/qualitativeresults.png`` grid shows. Metric reduction is batched
-on device; formatting on host.
+``imgs/qualitativeresults.png`` grid shows. Metrics are reduced in host
+numpy — eval batches are small and the per-image median scaling is a
+host-side sort anyway; only the model forward runs on device.
 """
 
 from __future__ import annotations

@@ -28,8 +28,11 @@ def rpe(
 ) -> Dict[str, float]:
     """Relative pose error over frame gaps of ``delta``.
 
-    Returns translational RMSE (same units as GT) and rotational RMSE
-    (degrees). Scale-aligns the translation magnitudes first (monocular).
+    Returns translational RMSE (same units as GT) and rotational RMSE.
+    Rotation convention: per-pair geodesic angle in RADIANS internally;
+    the reported ``rpe_rot_deg`` is the RMS of those angles converted to
+    DEGREES (TUM rpe tool convention). Scale-aligns the translation
+    magnitudes first (monocular).
     """
     n = min(len(pred_poses), len(gt_poses)) - delta
     t_errs, r_errs = [], []

@@ -99,6 +99,16 @@ def snippet_loss(
         (scalar loss, aux dict of per-term scalars + full-res depth).
     """
     # Trace-time input contract (SURVEY.md §5.2 — chex shape assertions).
+    if loss_cfg.geo_grad not in ("both", "sym"):
+        raise ValueError(
+            f"loss.geo_grad must be 'both' or 'sym', got {loss_cfg.geo_grad!r}"
+        )
+    if loss_cfg.geo_grad == "sym" and loss_cfg.geo_full_res:
+        raise ValueError(
+            "loss.geo_grad='sym' is only defined for the native-scale "
+            "protocol (geo_full_res=False); the full-res path would "
+            "silently fall back to 'both' semantics"
+        )
     chex.assert_rank(frames, 5)
     chex.assert_rank(poses, 3)
     chex.assert_axis_dimension(poses, -1, 6)

@@ -54,7 +54,6 @@ def build_dataset(cfg: ColvoConfig) -> SnippetDataset:
     root = cfg.data.data_root
     if not root:
         raise ValueError("data.data_root required for non-synthetic datasets")
-    from colvo.data.synthetic import render_sequence as _rs  # for K default
     from colvo.data.intrinsics import Intrinsics
 
     seqs, ks = [], []

@@ -7,7 +7,6 @@ placement over the mesh (R3).
 
 from __future__ import annotations
 
-import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
@@ -70,7 +69,8 @@ def train(
 
     # Async logger: the blocking device→host metric fetch runs on a daemon
     # thread so the step loop never syncs (metrics.py module docstring).
-    logger = AsyncMetricsLogger(MetricsWriter(log_dir))
+    logger = AsyncMetricsLogger(MetricsWriter(log_dir),
+                                fps_scale=float(cfg.data.batch_size))
 
     profile_window = None
     if cfg.train.profile_steps:
@@ -117,7 +117,6 @@ def train(
 
     # One background worker serializes checkpoint fetch+save off the loop.
     ckpt_pool = ThreadPoolExecutor(max_workers=1)
-    t_last = time.time()
     step = start_step
     for batch in stream:
         if step >= total_steps:
@@ -136,21 +135,10 @@ def train(
                 f"aborting: {logger.bad_steps} consecutive non-finite losses"
             )
         if step % cfg.train.log_every == 0 or step == total_steps:
-            # Sync to the current step before reading the clock: dispatch
-            # runs far ahead of execution, and on this platform
-            # block_until_ready can return early — only an actual value
-            # fetch pins the wall clock to computed work, making
-            # steps_per_sec honest (costs one link round trip per
-            # log_every steps).
-            float(metrics["loss/total"])
-            now = time.time()
-            sps = cfg.train.log_every / max(now - t_last, 1e-9)
-            t_last = now
-            logger.log(
-                step,
-                {**{k: v for k, v in metrics.items()}, "steps_per_sec": sps,
-                 "fps": sps * cfg.data.batch_size},
-            )
+            # steps_per_sec/fps are stamped by the logger thread from its
+            # own blocking-fetch completion times — honest wall clock with
+            # zero main-thread device syncs (metrics.py::_run).
+            logger.log(step, dict(metrics))
 
         if step % cfg.train.ckpt_every_steps == 0 or step == total_steps:
             # Snapshot on device (cheap copy; the live buffers get donated

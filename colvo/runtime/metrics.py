@@ -82,11 +82,14 @@ class AsyncMetricsLogger:
         writer: MetricsWriter,
         loss_key: str = "loss/total",
         max_pending: int = 4,
+        fps_scale: float = 0.0,
     ):
         self.writer = writer
         self.loss_key = loss_key
         self.bad_steps = 0
         self.dropped = 0
+        self.fps_scale = fps_scale  # batch size; 0 disables the fps column
+        self._last_done: Optional[tuple] = None  # (step, fetch-complete time)
         self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -115,6 +118,19 @@ class AsyncMetricsLogger:
                 self.bad_steps += 1
             else:
                 self.bad_steps = 0
+            # Honest throughput without syncing the training loop: the
+            # blocking fetch above pins this thread's clock to computed
+            # work (dispatch runs far ahead of execution on this
+            # platform), so consecutive fetch-completion times bound the
+            # real step rate — the main thread never pays the link round
+            # trip (it used to cost ~1 s per log_every steps).
+            now = time.time()
+            if self._last_done is not None and step > self._last_done[0]:
+                sps = (step - self._last_done[0]) / max(now - self._last_done[1], 1e-9)
+                vals["steps_per_sec"] = sps
+                if self.fps_scale:
+                    vals["fps"] = sps * self.fps_scale
+            self._last_done = (step, now)
             self.writer.log_scalars(step, vals)
 
     def close(self) -> None:

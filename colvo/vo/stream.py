@@ -191,9 +191,12 @@ def _build_stream_fns(runner: InferenceRunner, wire_dt: jnp.dtype,
             lo = sdisp.min(axis=(1, 2))
             span = sdisp.max(axis=(1, 2)) - lo
             step = jnp.maximum(span / 255.0, 1e-12)
-            q = jnp.round(
+            # Clip before the cast: float roundoff can push the top bin a
+            # hair past 255.0, and an unclipped uint8 cast would wrap to 0
+            # (decoding as wildly wrong depth) instead of saturating.
+            q = jnp.clip(jnp.round(
                 (sdisp - lo[:, None, None]) / step[:, None, None]
-            ).astype(jnp.uint8)
+            ), 0, 255).astype(jnp.uint8)
             meta = jnp.stack([lo, step], axis=-1).astype(jnp.float32)
             wire = jnp.concatenate(
                 [_to_u8_bits(q), _to_u8_bits(meta), _to_u8_bits(pose6)]
