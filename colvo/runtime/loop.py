@@ -26,7 +26,8 @@ def train(
     dataset: SnippetDataset,
     log_dir: str = "runs/train",
     max_steps: Optional[int] = None,
-    eval_hook: Optional[Callable[[int, TrainState], None]] = None,
+    eval_hook: Optional[Callable] = None,
+    eval_hook_factory: Optional[Callable] = None,
     resume: bool = False,
 ):
     """Full training entry (BASELINE.json config 4). Returns final state."""
@@ -44,6 +45,9 @@ def train(
 
     rng = jax.random.key(cfg.train.seed)
     model, state = init_state(cfg, rng, steps_per_epoch)
+    if eval_hook is None and eval_hook_factory is not None and cfg.train.eval_every_epochs > 0:
+        eval_hook = eval_hook_factory(cfg, model)
+    eval_every = max(1, steps_per_epoch * max(cfg.train.eval_every_epochs, 1))
     tx = make_optimizer(cfg, steps_per_epoch)
     step_fn = make_train_step(model, tx, cfg)
 
@@ -153,8 +157,14 @@ def train(
             else:
                 ckpt.save(step, jax.tree.map(np.asarray, snap))
 
-        if eval_hook is not None and step % (steps_per_epoch * cfg.train.eval_every_epochs) == 0:
-            eval_hook(step, state)
+        if eval_hook is not None and step % eval_every == 0:
+            # Hook contract: (step, state, writer) → optional scalar dict,
+            # routed through the async logger so eval/* rows land in
+            # metrics.jsonl next to the training rows; panels go straight
+            # to writer.log_image (PNG + TB).
+            scalars = eval_hook(step, state, logger.writer)
+            if scalars:
+                logger.log(step, scalars)
 
     ckpt_pool.shutdown(wait=True)
     ckpt.wait()

@@ -1,0 +1,100 @@
+"""DCDP / LCC ablation grid — the reference's two headline claims.
+
+The reference (README.md:5-7) claims the DCDP coupling "ensures seamless
+alignment of geometric projections" and LCC "accounts for brightness
+variations". Both are config knobs here; this script measures them: the
+2x2 grid (+/-model.dcdp_fusion, +/-loss.lcc) trained on the synthetic
+colon corpus, each cell evaluated on the held-out sequence (depth
+Abs-Rel, trajectory ATE, polyp localization error).
+
+Colonoscopy-specific detail that makes LCC measurable: the synthetic
+renderer models the headlight moving with the camera (data/synthetic.py
+— inverse-square falloff from the camera origin), so adjacent frames
+genuinely differ in brightness the way the reference describes.
+
+Usage: python scripts/ablate.py [steps] [out_root]
+Writes one JSON line per cell + a markdown table to <out_root>/ABLATION.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+
+import numpy as np
+
+
+def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str):
+    import jax
+    from colvo.config import ColvoConfig
+    from colvo.data import SnippetDataset, render_sequence
+    from colvo.pipelines import evaluate_synthetic
+    from colvo.runtime import export_params, train as train_loop
+
+    name = f"dcdp{int(dcdp)}_lcc{int(lcc)}"
+    out_dir = os.path.join(out_root, name)
+    cfg = ColvoConfig()
+    cfg.model.dcdp_fusion = dcdp
+    cfg.loss.lcc = lcc
+    cfg.data.loader = "device"
+    cfg.train.ckpt_dir = os.path.join(out_dir, "ckpt")
+    cfg.train.log_every = 500
+    cfg.train.ckpt_every_steps = steps
+
+    seqs, ks = [], []
+    for i in range(8):
+        seq = render_sequence(n_frames=64, height=cfg.data.height,
+                              width=cfg.data.width, seed=100 + 7 * i)
+        seqs.append(seq.frames)
+        ks.append(seq.k)
+    ds = SnippetDataset(seqs, ks, cfg.data.frame_offsets)
+
+    t0 = time.time()
+    _, state = train_loop(cfg, ds, log_dir=os.path.join(out_dir, "train"),
+                          max_steps=steps)
+    train_s = time.time() - t0
+    weights = export_params(jax.tree.map(np.asarray, state.params),
+                            os.path.join(out_dir, "weights.npz"))
+    metrics = evaluate_synthetic(cfg, weights=weights,
+                                 out_dir=os.path.join(out_dir, "eval"))
+    rec = {"cell": name, "dcdp": dcdp, "lcc": lcc, "steps": steps,
+           "train_s": round(train_s), **{k: round(v, 4) for k, v in metrics.items()}}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    out_root = sys.argv[2] if len(sys.argv) > 2 else "runs/ablate"
+    os.makedirs(out_root, exist_ok=True)
+    cells = [(True, True), (True, False), (False, True), (False, False)]
+    recs = []
+    for dcdp, lcc in cells:
+        recs.append(run_cell(dcdp, lcc, steps, out_root))
+
+    keys = [k for k in recs[0] if k not in ("cell", "dcdp", "lcc", "steps", "train_s")]
+    lines = ["# DCDP / LCC ablation (synthetic colon benchmark)",
+             "",
+             f"{len(recs)} cells x {recs[0]['steps']} steps, held-out eval "
+             "sequence (seed 999). Lower is better for all error metrics.",
+             "",
+             "| dcdp_fusion | lcc | " + " | ".join(keys) + " |",
+             "|---|---|" + "---|" * len(keys)]
+    for r in recs:
+        lines.append(
+            f"| {'on' if r['dcdp'] else 'off'} | {'on' if r['lcc'] else 'off'} | "
+            + " | ".join(f"{r[k]:.4f}" for k in keys) + " |")
+    with open(os.path.join(out_root, "ABLATION.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(out_root, "ablation.jsonl"), "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {out_root}/ABLATION.md")
+
+
+if __name__ == "__main__":
+    main()

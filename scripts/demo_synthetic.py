@@ -21,7 +21,7 @@ def main(max_steps=12000, out_dir="runs/demo"):
     import jax
     from colvo.config import ColvoConfig
     from colvo.data import SnippetDataset, render_sequence
-    from colvo.pipelines import evaluate_synthetic
+    from colvo.pipelines import evaluate_synthetic, make_training_eval_hook
     from colvo.runtime import export_params, train as train_loop
 
     cfg = ColvoConfig()
@@ -29,6 +29,7 @@ def main(max_steps=12000, out_dir="runs/demo"):
     cfg.train.ckpt_dir = os.path.join(out_dir, "ckpt")
     cfg.train.log_every = 500
     cfg.train.ckpt_every_steps = max_steps  # final checkpoint only (demo)
+    cfg.train.eval_every_epochs = 25  # ~1k-step cadence on this corpus
 
     # richer synthetic corpus than the default demo dataset
     seqs, ks = [], []
@@ -42,7 +43,8 @@ def main(max_steps=12000, out_dir="runs/demo"):
 
     t0 = time.time()
     model, state = train_loop(cfg, ds, log_dir=os.path.join(out_dir, "train"),
-                              max_steps=max_steps)
+                              max_steps=max_steps,
+                              eval_hook_factory=make_training_eval_hook)
     print(f"trained {max_steps} steps in {time.time()-t0:.0f}s")
     weights = export_params(jax.tree.map(np.asarray, state.params),
                             os.path.join(out_dir, "weights.npz"))

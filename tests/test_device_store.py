@@ -137,6 +137,19 @@ def test_train_loop_with_device_loader(seq, tmp_path):
     cfg.data.loader = "device"
     cfg.train.ckpt_dir = str(tmp_path / "ckpt")
     cfg.train.log_every = 1
+    cfg.train.eval_every_epochs = 1
     ds = SnippetDataset([seq.frames], [seq.k], cfg.data.frame_offsets)
-    _, state = train(cfg, ds, log_dir=str(tmp_path / "runs"), max_steps=3)
+    from colvo.pipelines import make_training_eval_hook
+
+    _, state = train(cfg, ds, log_dir=str(tmp_path / "runs"), max_steps=3,
+                     eval_hook_factory=make_training_eval_hook)
     assert int(state.step) == 3
+    # eval hook artifacts: eval/* rows in metrics.jsonl + PNG panels
+    import json
+
+    rows = [json.loads(l) for l in (tmp_path / "runs" / "metrics.jsonl").open()]
+    assert any(k.startswith("eval/") for r in rows for k in r), rows
+    panels = list((tmp_path / "runs").glob("panels_*.png"))
+    assert {p.name.rsplit("_", 1)[0] for p in panels} == {
+        "panels_disp", "panels_automask", "panels_warp_error"
+    }, panels
