@@ -25,6 +25,71 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import numpy as np
 
+# TPU v5e (this environment's "TPU v5 lite") peak dense bf16 throughput.
+PEAK_BF16_FLOPS = 197e12
+
+
+def bench_train_step():
+    """Chip-bound train-step time + MFU (serial-chain slope protocol —
+    scripts/bench_train.py docstring: the only honest timing here).
+
+    Unlike the streaming-VO headline, this number has no host link in it:
+    the state threads serially through N dispatched steps and one final
+    fetch pins the clock; the slope between two N values cancels the
+    constant dispatch/fetch overhead. MFU = XLA-reported program FLOPs /
+    (step time x chip peak bf16).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from colvo.config import ColvoConfig
+    from colvo.data import SnippetDataset, batch_iterator, render_sequence
+    from colvo.runtime import init_state, make_optimizer, make_train_step
+
+    cfg = ColvoConfig()  # production config: bf16, 256x320, B=12
+    model, state = init_state(cfg, jax.random.key(0))
+    tx = make_optimizer(cfg)
+    step_fn = make_train_step(model, tx, cfg)
+    seq = render_sequence(n_frames=16, height=cfg.data.height,
+                          width=cfg.data.width, seed=0)
+    ds = SnippetDataset([seq.frames], [seq.k], cfg.data.frame_offsets)
+    batch = jax.tree.map(jnp.asarray, next(batch_iterator(ds, cfg.data, seed=0)))
+
+    flops = None
+    try:
+        cost = step_fn.lower(state, batch).compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(c.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+
+    state, m = step_fn(state, batch)
+    float(m["loss/total"])  # compile + warm (real fetch)
+
+    def chain(n):
+        nonlocal state
+        t0 = time.time()
+        last = None
+        for _ in range(n):
+            state, m2 = step_fn(state, batch)
+            last = m2["loss/total"]
+        float(last)
+        return time.time() - t0
+
+    best = float("inf")
+    for _ in range(2):
+        t1, t2 = chain(10), chain(40)
+        best = min(best, (t2 - t1) / 30)
+    out = {
+        "train_step_ms": round(best * 1e3, 1),
+        "train_snippet_fps": round(cfg.data.batch_size / best, 1),
+    }
+    if flops:
+        out["train_mfu_pct"] = round(100.0 * flops / best / PEAK_BF16_FLOPS, 2)
+        out["train_tflops"] = round(flops / 1e12, 2)
+    return out
+
 
 def main():
     import jax
@@ -64,12 +129,17 @@ def main():
         assert vo.poses.shape[0] == n
         fps = max(fps, n / dt)
 
+    # Chip-bound training numbers (no host link in the measurement) —
+    # VERDICT r1 weak #4: the streaming fps above includes the tunnel.
+    train = bench_train_step()
+
     print(json.dumps({
         "metric": "streaming VO: depth map + DCDP pose per frame, "
                   "decoder-native I420 in, f16 depth out (256x320, bf16)",
         "value": round(fps, 1),
         "unit": "fps/chip",
         "vs_baseline": round(fps / 30.0, 2),
+        **train,
     }))
 
 

@@ -46,8 +46,22 @@ def maybe_init_distributed() -> bool:
         ))
     ):
         return False
+    # Pass explicit coordinates when the launcher provides them (covers
+    # plain-process launches — e.g. the 2-process CPU smoke test — where
+    # none of JAX's cluster auto-detectors apply); otherwise defer to
+    # auto-detection (TPU pod / GKE / Slurm).
+    kwargs = {}
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if addr and "JAX_NUM_PROCESSES" in os.environ and "JAX_PROCESS_ID" in os.environ:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:  # backend already up, or no cluster found
         warnings.warn(f"multi-host init skipped: {e}")
         return False

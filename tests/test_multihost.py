@@ -1,0 +1,63 @@
+"""Multi-host SPMD smoke test (SURVEY.md §5.8; VERDICT r1 weak #7).
+
+Launches 2 separate Python processes, each faking 4 CPU devices, with an
+explicit coordinator; asserts ``maybe_init_distributed`` engages, the
+global mesh spans 8 devices, and one DP train step runs SPMD with both
+processes agreeing on the loss.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_spmd_step(tmp_path):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)  # worker sets cpu itself
+        env.pop("XLA_FLAGS", None)
+        env.update(
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_COMPILATION_CACHE_DIR=os.path.join(
+                os.path.dirname(os.path.dirname(__file__)), ".jax_cache"
+            ),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, _WORKER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} rc={p.returncode}\n{out[-4000:]}"
+        assert "MULTIHOST_OK" in out, f"proc {i}:\n{out[-4000:]}"
+    # both processes computed the same globally-reduced loss
+    losses = [o.split("MULTIHOST_OK loss=")[1].split()[0] for o in outs]
+    assert losses[0] == losses[1], losses
