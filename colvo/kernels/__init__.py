@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from colvo.geometry.ops import bilinear_sample as bilinear_sample_xla
 from colvo.kernels.sampler import bilinear_sample_pallas, LANES
+from colvo.kernels.scatter import bilinear_sample_fullgrad
 
 
 def _on_tpu() -> bool:
@@ -34,8 +35,23 @@ def bilinear_sample_fast(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return bilinear_sample_xla(img, coords)
 
 
+def bilinear_sample_full(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling with gradients to coords AND source image.
+
+    Pallas on TPU (offset-class scatter backward, colvo.kernels.scatter —
+    XLA's serialized scatter-add costs +172 ms/step at the uncapped geo
+    protocol, scripts/bench_decompose.py); XLA autodiff elsewhere. Exact
+    parity pinned in tests/test_kernels.py.
+    """
+    if _on_tpu():
+        return bilinear_sample_fullgrad(img, coords)
+    return bilinear_sample_xla(img, coords)
+
+
 __all__ = [
     "bilinear_sample_fast",
+    "bilinear_sample_full",
+    "bilinear_sample_fullgrad",
     "bilinear_sample_pallas",
     "bilinear_sample_xla",
     "LANES",

@@ -31,7 +31,7 @@ from colvo.geometry import (
     bilinear_sample,
 )
 from colvo.geometry.ops import _valid_mask
-from colvo.kernels import bilinear_sample_fast
+from colvo.kernels import bilinear_sample_fast, bilinear_sample_full
 from colvo.losses.photometric import lcc_calibrate, photometric_error
 from colvo.losses.terms import automask as automask_fn
 from colvo.losses.terms import geometry_consistency, smoothness_loss
@@ -241,7 +241,13 @@ def snippet_loss(
                     )[..., 0]
                     g_loss_r = None
                 else:
-                    sampled = bilinear_sample(src_depth_g[..., None], pix_g)[..., 0]
+                    # Family/SC-Depth semantics: gradient through BOTH the
+                    # projected z and the sampled source depth. The Pallas
+                    # full-grad sampler (offset-class scatter backward)
+                    # replaces XLA's serialized scatter-add on TPU.
+                    sampled = bilinear_sample_full(
+                        src_depth_g[..., None], pix_g
+                    )[..., 0]
                     g_loss_r = None
                 gvalid = _valid_mask(pix_g, h_g, w_g) * (z_g > 0)
                 if loss_cfg.geo_full_res:

@@ -1,8 +1,8 @@
 """Worker process for the 2-process multi-host SPMD smoke test
 (SURVEY.md §5.8; launched by tests/test_multihost.py — not a test file).
 
-Each process fakes 4 CPU devices; after ``maybe_init_distributed`` the
-global mesh spans 8 devices across the 2 processes and one DP train step
+Each process fakes 2 CPU devices; after ``maybe_init_distributed`` the
+global mesh spans 4 devices across the 2 processes and one DP train step
 runs SPMD, gradients all-reduced over the (simulated) DCN boundary.
 Prints ``MULTIHOST_OK loss=<x>`` on success.
 """
@@ -16,7 +16,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=4"
+        xla_flags + " --xla_force_host_platform_device_count=2"
     ).strip()
 
 
@@ -35,8 +35,8 @@ def main():
     import numpy as np
 
     assert jax.process_count() == 2, jax.process_count()
-    assert jax.device_count() == 8, jax.device_count()
-    assert jax.local_device_count() == 4, jax.local_device_count()
+    assert jax.device_count() == 4, jax.device_count()
+    assert jax.local_device_count() == 2, jax.local_device_count()
 
     from colvo.config import ColvoConfig
     from colvo.data import SnippetDataset, batch_iterator, render_sequence

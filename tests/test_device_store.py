@@ -80,10 +80,24 @@ def test_store_rejects_mismatched_k(seq):
         DeviceSnippetStore([seq.frames, seq.frames], [seq.k, k2])
 
 
-def test_scan_train_chunk_runs_and_learns(seq):
-    """K-step scan training chunk: finite, steps counted, loss drops."""
+def test_scan_train_chunk_matches_plain_steps(seq):
+    """K-step scan chunk ≡ K sequential plain train steps.
+
+    Single-snippet corpus (1-row table) with augmentation off makes the
+    scan's on-device sampling deterministic (idx always 0), so the chunk
+    must reproduce the plain-step trajectory — a direct machinery test
+    (on-device gather, u8 decode, state threading, step counting) with no
+    tiny-scale-SGD knife edges. (Learning itself is pinned by
+    test_overfit_smoke; the previous mean-loss-drops form here flipped
+    with the faked device count's fp reduction order.)
+    """
     from colvo.config import ColvoConfig
-    from colvo.runtime import init_state, make_optimizer, make_scan_train
+    from colvo.runtime import (
+        init_state,
+        make_optimizer,
+        make_scan_train,
+        make_train_step,
+    )
 
     cfg = ColvoConfig()
     cfg.model.dtype = "float32"
@@ -94,33 +108,42 @@ def test_scan_train_chunk_runs_and_learns(seq):
     cfg.data.augment = False  # test the scan machinery, not aug robustness
     cfg.train.lr = 1e-3
 
-    # Single-snippet corpus (2 frames, offsets (1,) → a 1-row table): the
-    # scan chunk then overfits one snippet exactly like the plain-step
-    # overfit smoke. This pins the scan *machinery* (on-device
-    # sampling/gather, step counting, state threading) without inheriting
-    # the bistability of tiny-scale multi-batch SGD, which made mean-loss
-    # comparisons seed-brittle.
     store = DeviceSnippetStore(
         [np.asarray(seq.frames[:2])], [seq.k], cfg.data.frame_offsets
     )
     assert store.table.shape[0] == 1
     model, state = init_state(cfg, jax.random.key(0))
     tx = make_optimizer(cfg)
-    chunk_fn = make_scan_train(model, tx, cfg, n_steps=8)
-    state, metrics = chunk_fn(state, store.frames, store.table, store.k, jax.random.key(1))
-    losses = np.asarray(metrics["loss/total"])
-    assert losses.shape == (8,)
-    assert np.all(np.isfinite(losses))
-    assert int(state.step) == 8
-    for _ in range(3):
-        state, metrics2 = chunk_fn(
-            state, store.frames, store.table, store.k, jax.random.key(1)
-        )
-    assert int(state.step) == 32
-    # overfit on the single snippet: loss must drop meaningfully
-    assert np.asarray(metrics2["loss/total"]).mean() < 0.9 * losses.mean(), (
-        losses.mean(), np.asarray(metrics2["loss/total"]).mean()
+    # 3 steps: the scan-fused program rounds differently than the separate
+    # step program, and on this loss surface the fp drift compounds
+    # chaotically through Adam (measured: 1e-7 → 4e-6 → 2e-4 → 2e-2
+    # relative per step) — beyond ~3 steps no fixed tolerance is stable.
+    n_steps = 3
+    chunk_fn = make_scan_train(model, tx, cfg, n_steps=n_steps)
+    state_s, metrics = chunk_fn(
+        state, store.frames, store.table, store.k, jax.random.key(1)
     )
+    losses_scan = np.asarray(metrics["loss/total"])
+    assert losses_scan.shape == (n_steps,)
+    assert np.all(np.isfinite(losses_scan))
+    assert int(state_s.step) == n_steps
+    # second chunk threads state and keeps counting
+    state_s, metrics2 = chunk_fn(
+        state_s, store.frames, store.table, store.k, jax.random.key(2)
+    )
+    assert int(state_s.step) == 2 * n_steps
+    assert np.all(np.isfinite(np.asarray(metrics2["loss/total"])))
+
+    # plain-step reference on the identical (u8-roundtripped) batch
+    step_fn = make_train_step(model, tx, cfg)
+    snippet = store.frames[store.table[jnp.zeros(2, jnp.int32)]].astype(jnp.float32) / 255.0
+    batch = {"frames": snippet, "frames_clean": snippet, "k": store.k}
+    _, state_p = init_state(cfg, jax.random.key(0))
+    losses_plain = []
+    for _ in range(n_steps):
+        state_p, m = step_fn(state_p, batch)
+        losses_plain.append(float(m["loss/total"]))
+    np.testing.assert_allclose(losses_scan, losses_plain, rtol=2e-3, atol=1e-5)
 
 
 def test_train_loop_with_device_loader(seq, tmp_path):
@@ -132,7 +155,7 @@ def test_train_loop_with_device_loader(seq, tmp_path):
     cfg.model.dtype = "float32"
     cfg.model.n_scales = 2
     cfg.data.height = cfg.data.width = 64
-    cfg.data.batch_size = 8  # divisible over the faked 8-device DP mesh
+    cfg.data.batch_size = 8  # divisible over the faked DP mesh
     cfg.data.frame_offsets = (1,)
     cfg.data.loader = "device"
     cfg.train.ckpt_dir = str(tmp_path / "ckpt")

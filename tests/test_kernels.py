@@ -63,3 +63,49 @@ def test_sampler_interpret_grad_parity():
     with pltpu.force_tpu_interpret_mode():
         g_pal = jax.grad(loss_pal)(coords)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=1e-4)
+
+
+def test_scatter_fullgrad_interpret_parity():
+    """Full-gradient sampler (K2 scatter backward) vs XLA autodiff:
+    forward + source cotangent + coords cotangent (SURVEY.md §4.6)."""
+    from colvo.kernels.scatter import bilinear_sample_fullgrad
+
+    rng = np.random.default_rng(5)
+    for h, w, c, scale in [(32, 128, 1, 2.0), (40, 80, 1, 1.5), (32, 40, 2, 2.0)]:
+        img = jnp.asarray(rng.random((2, h, w, c), dtype=np.float32))
+        coords = vo_like_coords(2, h, w, seed=int(h + w), scale=scale) + 0.3
+
+        def loss_ref(im, crd):
+            return jnp.sum(jnp.cos(3 * bilinear_sample(im, crd)))
+
+        def loss_pal(im, crd):
+            return jnp.sum(jnp.cos(3 * bilinear_sample_fullgrad(im, crd)))
+
+        ref_v, (ref_di, ref_dc) = jax.value_and_grad(loss_ref, argnums=(0, 1))(img, coords)
+        with pltpu.force_tpu_interpret_mode():
+            pal_v, (pal_di, pal_dc) = jax.value_and_grad(loss_pal, argnums=(0, 1))(img, coords)
+        np.testing.assert_allclose(float(pal_v), float(ref_v), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(pal_di), np.asarray(ref_di), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(pal_dc), np.asarray(ref_dc), atol=2e-5)
+
+
+def test_scatter_fullgrad_interpret_parity_oob():
+    """Heavy out-of-bounds coords: border-clamped scatter targets pile up
+    on the image edge; gradients must still match XLA exactly."""
+    from colvo.kernels.scatter import bilinear_sample_fullgrad
+
+    rng = np.random.default_rng(6)
+    h, w = 32, 128
+    img = jnp.asarray(rng.random((1, h, w, 1), dtype=np.float32))
+    coords = vo_like_coords(1, h, w, seed=9, scale=20.0) + 0.3
+
+    def loss_ref(im, crd):
+        return jnp.sum(bilinear_sample(im, crd) ** 2)
+
+    def loss_pal(im, crd):
+        return jnp.sum(bilinear_sample_fullgrad(im, crd) ** 2)
+
+    ref_di = jax.grad(loss_ref)(img, coords)
+    with pltpu.force_tpu_interpret_mode():
+        pal_di = jax.grad(loss_pal)(img, coords)
+    np.testing.assert_allclose(np.asarray(pal_di), np.asarray(ref_di), atol=2e-5)

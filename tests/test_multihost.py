@@ -1,8 +1,8 @@
 """Multi-host SPMD smoke test (SURVEY.md §5.8; VERDICT r1 weak #7).
 
-Launches 2 separate Python processes, each faking 4 CPU devices, with an
+Launches 2 separate Python processes, each faking 2 CPU devices, with an
 explicit coordinator; asserts ``maybe_init_distributed`` engages, the
-global mesh spans 8 devices, and one DP train step runs SPMD with both
+global mesh spans 4 devices, and one DP train step runs SPMD with both
 processes agreeing on the loss.
 """
 
@@ -10,8 +10,6 @@ import os
 import socket
 import subprocess
 import sys
-
-import pytest
 
 _WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
 
@@ -22,7 +20,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_spmd_step(tmp_path):
+def _launch_pair():
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -55,6 +53,16 @@ def test_two_process_spmd_step(tmp_path):
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_spmd_step(tmp_path):
+    # One retry: the coordination-service/gloo handshake has a fixed 30 s
+    # deadline that can flake when the host is saturated (e.g. the rest of
+    # the suite hammering every core); a real regression fails twice.
+    procs, outs = _launch_pair()
+    if any(p.returncode != 0 for p in procs):
+        procs, outs = _launch_pair()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} rc={p.returncode}\n{out[-4000:]}"
         assert "MULTIHOST_OK" in out, f"proc {i}:\n{out[-4000:]}"

@@ -65,7 +65,7 @@ def test_overfit_smoke():
 
 
 def test_dp_step_equals_single_device():
-    """SPMD DP over the faked 8-CPU mesh ≡ single-device step (SURVEY.md §4.5)."""
+    """SPMD DP over the faked multi-device CPU mesh ≡ single-device step (SURVEY.md §4.5)."""
     cfg = tiny_config(batch_size=8, h=32, w=32)
     cfg.model.n_scales = 2
     cfg.data.frame_offsets = (1,)
@@ -77,8 +77,8 @@ def test_dp_step_equals_single_device():
     # single device
     state_a, metrics_a = step_fn(state0, batch)
 
-    # 8-device DP
-    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    # DP over all faked devices
+    assert len(jax.devices()) >= 2, "conftest must fake >=2 CPU devices"
     mesh = make_mesh()
     model, state0b = init_state(cfg, jax.random.key(0))
     state0b = TrainState(
