@@ -69,6 +69,11 @@ class LossConfig:
     lcc: bool = True  # light-consistent calibration (L1, README.md:7)
     lcc_mode: str = "affine"  # affine | gain | off
     lcc_window: int = 15  # low-frequency local window for the gain field
+    fused_kernel: bool = False  # K1: warp+LCC+SSIM+L1 as ONE Pallas kernel
+    #   on TPU (colvo.kernels.fused_loss — no materialized warped frames);
+    #   False, non-TPU backends, or unsupported combos (lcc_mode="gain",
+    #   ssim_alpha=0) use the composed sampler + XLA stats path. Identical
+    #   math either way (parity pinned in tests/test_kernels.py).
     automask: bool = True  # identity-reprojection automasking (L3)
     min_reprojection: bool = True  # per-pixel min over source frames (L3)
     # Geometric-consistency evaluation protocol (L5). Defaults are the

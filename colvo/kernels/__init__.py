@@ -35,6 +35,37 @@ def bilinear_sample_fast(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return bilinear_sample_xla(img, coords)
 
 
+def warp_photometric_fast(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    coords: jnp.ndarray,
+    lcc_mode: str,
+    lcc_window: int,
+    alpha: float,
+) -> jnp.ndarray:
+    """Fused warp+LCC+SSIM+L1 per-pixel error map (K1).
+
+    Single Pallas kernel on TPU for the supported configs (LCC affine or
+    off, SSIM on) — no warped frame or window statistic ever touches HBM
+    (colvo.kernels.fused_loss); the composed XLA pipeline elsewhere.
+    Gradients flow to ``coords`` only (frames are data in the loss).
+    """
+    h, w = src.shape[1], src.shape[2]
+    supported = lcc_mode in ("affine", "off") and alpha > 0.0
+    if _on_tpu() and supported and w >= LANES and h >= 8:
+        from colvo.kernels.fused_loss import warp_photometric_pallas
+
+        window = lcc_window if lcc_mode == "affine" else 0
+        return warp_photometric_pallas(src, tgt, coords, window, alpha)
+    # composed fallback (identical math; parity pinned in tests)
+    from colvo.losses.photometric import lcc_calibrate, photometric_error
+
+    warped = bilinear_sample_fast(src, coords)
+    if lcc_mode != "off":
+        warped = lcc_calibrate(warped, tgt, lcc_mode, lcc_window)
+    return photometric_error(warped, tgt, alpha)
+
+
 def bilinear_sample_full(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sampling with gradients to coords AND source image.
 
@@ -54,5 +85,6 @@ __all__ = [
     "bilinear_sample_fullgrad",
     "bilinear_sample_pallas",
     "bilinear_sample_xla",
+    "warp_photometric_fast",
     "LANES",
 ]

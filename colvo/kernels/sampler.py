@@ -64,19 +64,19 @@ LANES = 128  # tpu.dynamic_gather operates within one 128-lane vreg
 SPAN_GROUPS = 3  # max horizontal source span per 128-wide tile, in vregs
 
 
-def _tile_body(hw_true, src_ref, x_ref, y_ref):
-    """Shared tile computation → (out, dx, dy), each (TILE_H, LANES).
+def _gather_block(hw_true, src_ref, x, y):
+    """Bilinear gather of one (tile_h, LANES) coord block from a
+    VMEM-resident source plane ref → (out, dx, dy).
 
-    Refs carry a leading singleton plane dim from the BlockSpecs.
-    ``hw_true`` is the unpadded source (H, W) — border clamp must not
-    select pad rows/lanes.
+    ``x``/``y`` are plain (tile_h, LANES) arrays; ``src_ref`` is the
+    (1, H_pad, W_pad) plane ref (dynamic 8-row-aligned loads inside).
+    Shared by the sampler kernels below and the fused loss kernel
+    (colvo.kernels.fused_loss). ``hw_true`` is the unpadded source
+    (H, W) — border clamp must not select pad rows/lanes.
     """
     h_true, w_true = hw_true
     w_src = src_ref.shape[2]
-    tile_h = x_ref.shape[1]
-
-    x = x_ref[0]
-    y = y_ref[0]
+    tile_h = x.shape[0]
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     wx = x - x0f
@@ -146,12 +146,12 @@ def _tile_body(hw_true, src_ref, x_ref, y_ref):
 
 
 def _sample_kernel(hw_true, src_ref, x_ref, y_ref, out_ref):
-    out, _, _ = _tile_body(hw_true, src_ref, x_ref, y_ref)
+    out, _, _ = _gather_block(hw_true, src_ref, x_ref[0], y_ref[0])
     out_ref[0] = out
 
 
 def _sample_grad_kernel(hw_true, src_ref, x_ref, y_ref, out_ref, dx_ref, dy_ref):
-    out, dx, dy = _tile_body(hw_true, src_ref, x_ref, y_ref)
+    out, dx, dy = _gather_block(hw_true, src_ref, x_ref[0], y_ref[0])
     out_ref[0] = out
     dx_ref[0] = dx
     dy_ref[0] = dy

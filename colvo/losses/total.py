@@ -31,7 +31,11 @@ from colvo.geometry import (
     bilinear_sample,
 )
 from colvo.geometry.ops import _valid_mask
-from colvo.kernels import bilinear_sample_fast, bilinear_sample_full
+from colvo.kernels import (
+    bilinear_sample_fast,
+    bilinear_sample_full,
+    warp_photometric_fast,
+)
 from colvo.losses.photometric import lcc_calibrate, photometric_error
 from colvo.losses.terms import automask as automask_fn
 from colvo.losses.terms import geometry_consistency, smoothness_loss
@@ -156,16 +160,27 @@ def snippet_loss(
         for s in range(n_sources):
             t_mat = t_mats[:, s]
             pix, z = project(cam_points, k, t_mat)
-            # Pallas sampler on TPU: frames are data (no source gradient
-            # needed); gradients flow through `pix` into depth and pose.
-            warped = bilinear_sample_fast(frames_clean[:, s + 1], pix)
             valid = _valid_mask(pix, height, width) * (z > 0)
 
-            if loss_cfg.lcc and loss_cfg.lcc_mode != "off":
-                warped = lcc_calibrate(
-                    warped, tgt_clean, loss_cfg.lcc_mode, loss_cfg.lcc_window
+            lcc_mode = (
+                loss_cfg.lcc_mode if loss_cfg.lcc and loss_cfg.lcc_mode != "off"
+                else "off"
+            )
+            if loss_cfg.fused_kernel:
+                # K1: one Pallas kernel for warp+LCC+SSIM+L1 on TPU — no
+                # warped frame or window statistic materialized to HBM;
+                # frames are data, gradients flow through `pix` only.
+                err = warp_photometric_fast(
+                    frames_clean[:, s + 1], tgt_clean, pix,
+                    lcc_mode, loss_cfg.lcc_window, loss_cfg.ssim_alpha,
                 )
-            err = photometric_error(warped, tgt_clean, loss_cfg.ssim_alpha)
+            else:
+                warped = bilinear_sample_fast(frames_clean[:, s + 1], pix)
+                if lcc_mode != "off":
+                    warped = lcc_calibrate(
+                        warped, tgt_clean, lcc_mode, loss_cfg.lcc_window
+                    )
+                err = photometric_error(warped, tgt_clean, loss_cfg.ssim_alpha)
 
             if loss_cfg.geometric_weight > 0:
                 if loss_cfg.geo_full_res:

@@ -109,3 +109,39 @@ def test_scatter_fullgrad_interpret_parity_oob():
     with pltpu.force_tpu_interpret_mode():
         pal_di = jax.grad(loss_pal)(img, coords)
     np.testing.assert_allclose(np.asarray(pal_di), np.asarray(ref_di), atol=2e-5)
+
+
+@pytest.mark.parametrize("lcc_window", [15, 0])
+def test_fused_loss_interpret_parity(lcc_window):
+    """K1 fused warp+LCC+SSIM+L1 kernel vs the composed XLA pipeline:
+    per-pixel error map + coords gradient (SURVEY.md §2.7 K1)."""
+    from colvo.kernels.fused_loss import warp_photometric_pallas
+    from colvo.losses.photometric import lcc_calibrate, photometric_error
+
+    def xla_ref(src, tgt, coords):
+        warped = bilinear_sample(src, coords)
+        if lcc_window:
+            warped = lcc_calibrate(warped, tgt, "affine", lcc_window)
+        return photometric_error(warped, tgt, 0.85)
+
+    rng = np.random.default_rng(3)
+    h, w, c = 64, 128, 3
+    src = jnp.asarray(rng.random((2, h, w, c), dtype=np.float32))
+    tgt = jnp.asarray(rng.random((2, h, w, c), dtype=np.float32))
+    coords = vo_like_coords(2, h, w, seed=8, scale=2.0) + 0.3
+
+    def lr(crd):
+        return jnp.sum(jnp.cos(4 * xla_ref(src, tgt, crd)))
+
+    def lp(crd):
+        return jnp.sum(jnp.cos(4 * warp_photometric_pallas(
+            src, tgt, crd, lcc_window, 0.85)))
+
+    rv, rg = jax.value_and_grad(lr)(coords)
+    with pltpu.force_tpu_interpret_mode():
+        fwd = warp_photometric_pallas(src, tgt, coords, lcc_window, 0.85)
+        pv, pg = jax.value_and_grad(lp)(coords)
+    np.testing.assert_allclose(
+        np.asarray(fwd), np.asarray(xla_ref(src, tgt, coords)), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(pg), np.asarray(rg), atol=5e-5)
