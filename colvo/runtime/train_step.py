@@ -7,9 +7,11 @@ compute with fp32 params/optimizer (BASELINE.json config 4).
 
 Data parallelism: the same jitted function runs SPMD over the mesh —
 batch arrays arrive sharded on the ``data`` axis, params replicated, and
-XLA inserts the gradient all-reduce over ICI (SURVEY.md §5.8). Use
-``jax.checkpoint`` (remat) on the per-scale loss to bound memory across
-the 8 warp+loss evaluations per step (SURVEY.md §7 hard part 5).
+XLA inserts the gradient all-reduce over ICI (SURVEY.md §5.8). No remat:
+at the production shape (B=12, 256×320, bf16) the full fwd+bwd fits HBM
+comfortably, and the 8 warp+loss evaluations per step (SURVEY.md §7 hard
+part 5) are bounded by the fused K1 kernel / native-scale geo protocol
+rather than by rematerialization.
 """
 
 from __future__ import annotations

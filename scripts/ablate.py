@@ -28,18 +28,27 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np
 
 
-def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str):
+def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
+             geo_cap: int = None, name: str = None):
     import jax
     from colvo.config import ColvoConfig
     from colvo.data import SnippetDataset, render_sequence
     from colvo.pipelines import evaluate_synthetic
     from colvo.runtime import export_params, train as train_loop
 
-    name = f"dcdp{int(dcdp)}_lcc{int(lcc)}"
+    name = name or f"dcdp{int(dcdp)}_lcc{int(lcc)}"
     out_dir = os.path.join(out_root, name)
+    done_path = os.path.join(out_dir, "result.json")
+    if os.path.exists(done_path):  # resume: skip completed cells
+        with open(done_path) as f:
+            rec = json.load(f)
+        print(json.dumps(rec), flush=True)
+        return rec
     cfg = ColvoConfig()
     cfg.model.dcdp_fusion = dcdp
     cfg.loss.lcc = lcc
+    if geo_cap is not None:
+        cfg.loss.geo_res_cap = geo_cap
     cfg.data.loader = "device"
     cfg.train.ckpt_dir = os.path.join(out_dir, "ckpt")
     cfg.train.log_every = 500
@@ -63,6 +72,8 @@ def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str):
                                  out_dir=os.path.join(out_dir, "eval"))
     rec = {"cell": name, "dcdp": dcdp, "lcc": lcc, "steps": steps,
            "train_s": round(train_s), **{k: round(v, 4) for k, v in metrics.items()}}
+    with open(done_path, "w") as f:
+        json.dump(rec, f)
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -71,23 +82,27 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     out_root = sys.argv[2] if len(sys.argv) > 2 else "runs/ablate"
     os.makedirs(out_root, exist_ok=True)
-    cells = [(True, True), (True, False), (False, True), (False, False)]
     recs = []
-    for dcdp, lcc in cells:
+    # 2x2 DCDP/LCC grid (reference claims, README.md:5-7) ...
+    for dcdp, lcc in [(True, True), (True, False), (False, True), (False, False)]:
         recs.append(run_cell(dcdp, lcc, steps, out_root))
+    # ... + the geo-cap A/B (VERDICT r1 #3): full model, uncapped
+    # native-scale protocol (honest objective, affordable with the Pallas
+    # scatter backward) vs the capped default.
+    recs.append(run_cell(True, True, steps, out_root, geo_cap=0,
+                         name="dcdp1_lcc1_geocap0"))
 
     keys = [k for k in recs[0] if k not in ("cell", "dcdp", "lcc", "steps", "train_s")]
-    lines = ["# DCDP / LCC ablation (synthetic colon benchmark)",
+    lines = ["# DCDP / LCC ablation + geo-cap A/B (synthetic colon benchmark)",
              "",
              f"{len(recs)} cells x {recs[0]['steps']} steps, held-out eval "
              "sequence (seed 999). Lower is better for all error metrics.",
              "",
-             "| dcdp_fusion | lcc | " + " | ".join(keys) + " |",
-             "|---|---|" + "---|" * len(keys)]
+             "| cell | " + " | ".join(keys) + " |",
+             "|---|" + "---|" * len(keys)]
     for r in recs:
-        lines.append(
-            f"| {'on' if r['dcdp'] else 'off'} | {'on' if r['lcc'] else 'off'} | "
-            + " | ".join(f"{r[k]:.4f}" for k in keys) + " |")
+        lines.append(f"| {r['cell']} | "
+                     + " | ".join(f"{r[k]:.4f}" for k in keys) + " |")
     with open(os.path.join(out_root, "ABLATION.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     with open(os.path.join(out_root, "ablation.jsonl"), "w") as f:
