@@ -28,7 +28,10 @@ def smoothness_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
 
 
 def geometry_consistency(
-    computed_depth: jnp.ndarray, sampled_depth: jnp.ndarray, valid: jnp.ndarray
+    computed_depth: jnp.ndarray,
+    sampled_depth: jnp.ndarray,
+    valid: jnp.ndarray,
+    behind: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """DCDP cross-frame depth-consistency residual (L5).
 
@@ -38,13 +41,41 @@ def geometry_consistency(
     SURVEY.md §2.4 L5). Returns ``(loss_scalar, weight_mask)`` where
     ``weight_mask = 1 − diff`` downweights inconsistent (dynamic/occluded)
     pixels in the photometric loss.
+
+    ``behind`` marks pixels whose transformed depth is non-positive
+    (behind the source camera). They count as MAXIMAL inconsistency
+    (diff = 1) rather than dropping out of ``valid``: the masked mean has
+    a degenerate minimum at "everything invalid" (measured: the uncapped
+    full-res geo gradient drives depth→min / translation→large within 20
+    steps until every point has z<0 and the loss cliff-drops to exactly
+    0). Scoring behind-camera pixels at the clip ceiling removes the
+    cliff — the loss is continuous (→1) as z→0⁺, so the escape is never
+    downhill. Out-of-frame pixels keep ignore semantics via ``valid``
+    (legitimate border motion must not be penalized).
     """
+    raw = computed_depth
+    if behind is not None:
+        # keep the diff branch finite where z≤0 (where-grad trap)
+        computed_depth = jnp.where(behind, sampled_depth, computed_depth)
     diff = jnp.abs(computed_depth - sampled_depth) / (
         computed_depth + sampled_depth + 1e-7
     )
-    diff = jnp.clip(diff, 0.0, 1.0) * valid
+    diff = jnp.clip(diff, 0.0, 1.0)
+    if behind is not None:
+        # Behind pixels score 1 + |z|/s: continuous with the clip ceiling
+        # at z→0 and MONOTONE in how far behind — a restoring gradient,
+        # not a plateau (a flat diff=1 leaves the transient-entered
+        # degenerate state with nothing pulling it back out).
+        pen = 1.0 - raw / (jnp.abs(sampled_depth) + 1e-7)
+        diff = jnp.where(behind, jnp.minimum(pen, 10.0), diff)
+        # A behind-camera pixel's projection is meaningless, so it counts
+        # toward the mean wherever it lands — otherwise the escape route
+        # "huge translation → every pixel behind AND out of frame" still
+        # empties the mask and cliff-drops the loss to 0.
+        valid = jnp.maximum(valid, behind.astype(diff.dtype))
+    diff = diff * valid
     loss = jnp.sum(diff) / (jnp.sum(valid) + 1e-7)
-    weight = (1.0 - diff) * valid
+    weight = jnp.clip(1.0 - diff, 0.0, 1.0) * valid
     return loss, weight
 
 

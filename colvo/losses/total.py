@@ -245,8 +245,10 @@ def snippet_loss(
                     sampled_r = bilinear_sample_fast(
                         jax.lax.stop_gradient(depth_g)[..., None], pix_r
                     )[..., 0]
-                    rvalid = _valid_mask(pix_r, h_g, w_g) * (z_r > 0)
-                    g_loss_r, _ = geometry_consistency(z_r, sampled_r, rvalid)
+                    rvalid = _valid_mask(pix_r, h_g, w_g)
+                    g_loss_r, _ = geometry_consistency(
+                        z_r, sampled_r, rvalid, behind=z_r <= 0
+                    )
                 elif loss_cfg.geo_stopgrad:
                     # Pseudo-label consistency: no gradient into the warped
                     # source depth → the Pallas coords-grad sampler applies
@@ -264,10 +266,16 @@ def snippet_loss(
                         src_depth_g[..., None], pix_g
                     )[..., 0]
                     g_loss_r = None
-                gvalid = _valid_mask(pix_g, h_g, w_g) * (z_g > 0)
+                # In-bounds pixels only in the mask; behind-camera (z≤0)
+                # pixels stay IN and score diff=1 — dropping them creates
+                # a degenerate all-invalid minimum the uncapped geo
+                # gradient actually finds (see geometry_consistency).
+                gvalid = _valid_mask(pix_g, h_g, w_g)
                 if loss_cfg.geo_full_res:
-                    gvalid = gvalid * valid
-                g_loss, g_weight = geometry_consistency(z_g, sampled, gvalid)
+                    gvalid = gvalid * _valid_mask(pix, height, width)
+                g_loss, g_weight = geometry_consistency(
+                    z_g, sampled, gvalid, behind=z_g <= 0
+                )
                 if g_loss_r is not None:
                     g_loss = 0.5 * (g_loss + g_loss_r)
                 if not loss_cfg.geo_full_res and height // h_g > 1:

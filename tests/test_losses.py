@@ -129,6 +129,47 @@ def test_geometry_consistency_identity():
     np.testing.assert_allclose(np.asarray(w), 1.0, atol=1e-5)
 
 
+def test_geometry_consistency_behind_camera_is_not_free():
+    """Behind-camera (z≤0) pixels must score maximal inconsistency, not
+    drop out of the mask: the masked mean has a degenerate minimum at
+    "everything invalid" which the uncapped geo gradient actually finds
+    (depth→min, translation→large, every z<0 → loss cliff-drops to 0).
+    The fix makes the loss continuous (→1) as pixels go behind."""
+    d = jnp.asarray(1.0 + RNG.random((1, 16, 16)).astype(np.float32))
+    valid = jnp.ones_like(d)
+    # all behind: loss = 1 + |z|/s = 2 here (above the in-front ceiling
+    # of 1), NOT 0
+    loss_all, w_all = geometry_consistency(
+        -d, d, valid, behind=jnp.ones_like(d, bool)
+    )
+    np.testing.assert_allclose(float(loss_all), 2.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_all), 0.0, atol=1e-6)
+    # all behind AND all out of frame (valid=0) — the actual escape state
+    # observed in training — must still cost ≥1, not cliff to 0
+    loss_oob, _ = geometry_consistency(
+        -d, d, jnp.zeros_like(d), behind=jnp.ones_like(d, bool)
+    )
+    np.testing.assert_allclose(float(loss_oob), 2.0, atol=1e-5)
+    # half behind: loss above the healthy half's mean diff; finite grads;
+    # and the behind half has a RESTORING gradient (dL/dz < 0: pushing z
+    # forward, back in front of the camera, lowers the loss)
+    behind = jnp.concatenate(
+        [jnp.ones((1, 8, 16), bool), jnp.zeros((1, 8, 16), bool)], axis=1
+    )
+    z = jnp.where(behind, -d, d * 1.1)
+
+    def f(zz):
+        loss, _ = geometry_consistency(zz, d, valid, behind=behind)
+        return loss
+
+    loss_half = float(f(z))
+    assert 0.5 < loss_half < 2.0
+    g = np.asarray(jax.grad(f)(z))
+    assert np.all(np.isfinite(g))
+    assert np.abs(g[0, 8:]).max() > 0  # healthy half still drives depth
+    assert g[0, :8].max() < 0  # restoring force, not a plateau
+
+
 def test_automask_static_scene():
     """Static scene (source == target): identity error is 0, warped error
     positive → all pixels masked out (SURVEY.md §4.3)."""
