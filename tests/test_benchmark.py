@@ -89,6 +89,7 @@ def test_load_resized_rescales_k(bench_root):
     np.testing.assert_allclose(loaded.k[1, 2], seq_a.k[1, 2] * 0.5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_evaluate_dataset_end_to_end(bench_root, tmp_path):
     root, *_ = bench_root
     from colvo.pipelines import evaluate_dataset

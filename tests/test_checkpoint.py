@@ -65,6 +65,7 @@ def test_keep_n_policy(tmp_path, model_state):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_kill_and_resume_bitwise(tmp_path, model_state):
     """Fault injection (SURVEY.md §5.3): training state saved at step k and
     'killed'; a fresh process-equivalent restore must continue bitwise."""

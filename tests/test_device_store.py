@@ -80,6 +80,7 @@ def test_store_rejects_mismatched_k(seq):
         DeviceSnippetStore([seq.frames, seq.frames], [seq.k, k2])
 
 
+@pytest.mark.slow
 def test_scan_train_chunk_matches_plain_steps(seq):
     """K-step scan chunk ≡ K sequential plain train steps.
 
@@ -146,6 +147,7 @@ def test_scan_train_chunk_matches_plain_steps(seq):
     np.testing.assert_allclose(losses_scan, losses_plain, rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_loop_with_device_loader(seq, tmp_path):
     """train() with loader='device' runs end to end (no host batch path)."""
     from colvo.config import ColvoConfig

@@ -2,6 +2,7 @@
 test, automask behavior on static scenes, end-to-end loss gradients."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -197,6 +198,7 @@ def _setup_snippet(h=32, w=32, b=1):
     return model, params, frames, k, mcfg
 
 
+@pytest.mark.slow
 def test_snippet_loss_finite_and_grads_flow():
     model, params, frames, k, mcfg = _setup_snippet()
     lcfg = LossConfig()

@@ -64,6 +64,7 @@ def test_posenet_shapes_and_scale(cfg):
     assert float(jnp.max(jnp.abs(aa))) < 0.1
 
 
+@pytest.mark.slow
 def test_colvo_model_forward_and_grads(cfg):
     model = ColVOModel(cfg)
     rng = np.random.default_rng(1)

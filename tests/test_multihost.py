@@ -9,6 +9,7 @@ processes agreeing on the loss.
 import os
 import socket
 import subprocess
+import pytest
 import sys
 
 _WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
@@ -56,6 +57,7 @@ def _launch_pair():
     return procs, outs
 
 
+@pytest.mark.slow
 def test_two_process_spmd_step(tmp_path):
     # One retry: the coordination-service/gloo handshake has a fixed 30 s
     # deadline that can flake when the host is saturated (e.g. the rest of

@@ -43,6 +43,7 @@ def make_batch(cfg, n_frames=8, seed=11):
     return next(it)
 
 
+@pytest.mark.slow
 def test_overfit_smoke():
     # 2 scales + 1 source keeps the CPU compile/runtime tractable while
     # still exercising the full fwd+bwd+update path end to end.
@@ -64,6 +65,7 @@ def test_overfit_smoke():
     assert losses[-1] < 0.85 * losses[0], (losses[0], losses[-1])
 
 
+@pytest.mark.slow
 def test_dp_step_equals_single_device():
     """SPMD DP over the faked multi-device CPU mesh ≡ single-device step (SURVEY.md §4.5)."""
     cfg = tiny_config(batch_size=8, h=32, w=32)
