@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -52,6 +53,18 @@ def geometry_consistency(
     cliff — the loss is continuous (→1) as z→0⁺, so the escape is never
     downhill. Out-of-frame pixels keep ignore semantics via ``valid``
     (legitimate border motion must not be penalized).
+
+    The restoring *slope* (1 + |z|/s, monotone in how far behind) is
+    gated on the per-image behind fraction (stop-grad) exceeding 5 %.
+    Measured failure without the gate: healthy training always has a few
+    transient behind pixels at frame borders, and their always-on slope
+    is a chronic one-way force along the monocular scale-flat direction
+    (photometric + geo both constrain only the t/D ratio) — over 4k
+    steps the trajectory scale drifted ~80× relative to depth, blowing
+    the polyp-localization metric up from ~0.2 to ~8 (runs/ablate r2,
+    cell dcdp1_lcc1). With the gate, rare behind pixels cost a CONSTANT
+    1 (no gradient, no drift pressure); the slope only activates in the
+    degenerate epidemic it exists to escape.
     """
     raw = computed_depth
     if behind is not None:
@@ -66,8 +79,16 @@ def geometry_consistency(
         # at z→0 and MONOTONE in how far behind — a restoring gradient,
         # not a plateau (a flat diff=1 leaves the transient-entered
         # degenerate state with nothing pulling it back out).
-        pen = 1.0 - raw / (jnp.abs(sampled_depth) + 1e-7)
-        diff = jnp.where(behind, jnp.minimum(pen, 10.0), diff)
+        pen = jnp.minimum(1.0 - raw / (jnp.abs(sampled_depth) + 1e-7), 10.0)
+        bfrac = jax.lax.stop_gradient(
+            jnp.mean(
+                behind.astype(diff.dtype),
+                axis=tuple(range(1, behind.ndim)),
+                keepdims=True,
+            )
+        )
+        pen = jnp.where(bfrac > 0.05, pen, 1.0)
+        diff = jnp.where(behind, pen, diff)
         # A behind-camera pixel's projection is meaningless, so it counts
         # toward the mean wherever it lands — otherwise the escape route
         # "huge translation → every pixel behind AND out of frame" still

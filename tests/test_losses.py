@@ -171,6 +171,39 @@ def test_geometry_consistency_behind_camera_is_not_free():
     assert g[0, :8].max() < 0  # restoring force, not a plateau
 
 
+def test_geometry_consistency_rare_behind_has_no_drift_pressure():
+    """A few transient behind pixels (frame borders, every healthy run)
+    must cost a CONSTANT penalty with ZERO gradient: the always-on
+    restoring slope was a chronic one-way force along the monocular
+    scale-flat direction and drifted the trajectory scale ~80× over 4k
+    steps (runs/ablate r2 cell dcdp1_lcc1, polyp e 0.2 → 8). The slope
+    gates on per-image behind fraction > 5 %."""
+    d = jnp.asarray(1.0 + RNG.random((1, 16, 16)).astype(np.float32))
+    valid = jnp.ones_like(d)
+    behind = jnp.zeros((1, 16, 16), bool).at[0, 0, :4].set(True)  # ~1.6 %
+    z = jnp.where(behind, -d, d)
+
+    def f(zz):
+        loss, _ = geometry_consistency(zz, d, valid, behind=behind)
+        return loss
+
+    g = np.asarray(jax.grad(f)(z))
+    assert np.all(g[np.asarray(behind)] == 0.0)  # no drift pressure
+    # ...but the pixels still COST (diff = 1 each), so going behind is
+    # never a free lunch for the optimizer
+    np.testing.assert_allclose(float(f(z)), 4.0 / 256.0, atol=1e-5)
+    # and the epidemic (>5 %) still activates the restoring slope
+    behind_many = jnp.zeros((1, 16, 16), bool).at[0, :3, :].set(True)  # ~19 %
+    z_many = jnp.where(behind_many, -d, d)
+
+    def f_many(zz):
+        loss, _ = geometry_consistency(zz, d, valid, behind=behind_many)
+        return loss
+
+    g_many = np.asarray(jax.grad(f_many)(z_many))
+    assert g_many[np.asarray(behind_many)].max() < 0  # restoring force
+
+
 def test_automask_static_scene():
     """Static scene (source == target): identity error is 0, warped error
     positive → all pixels masked out (SURVEY.md §4.3)."""
