@@ -51,6 +51,10 @@ class ModelConfig:
     pose_rotation_scale: float = 0.01  # family-standard axis-angle scaling
     pose_translation_scale: float = 0.01
     dcdp_fusion: bool = True  # DCDP coupling (README.md:7); off = plain PoseNet
+    batched_snippet: bool = True  # one (B·F) depth pass + one (B·S) pose
+    #   pass per snippet instead of per-frame/per-pair calls (identical
+    #   math — GroupNorm is per-sample; ~30% faster step). False = the
+    #   reference per-frame loop (diagnostic/fallback).
     fusion_channels: int = 64
     norm: str = "group"  # encoder normalization: group (TPU-native, no
     #   batch-stat sync over the DP mesh) | none (BN-folded conv bias — the

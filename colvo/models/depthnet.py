@@ -86,6 +86,8 @@ class ColVOModel(nn.Module):
         return self.pose_decoder(bottleneck)
 
     def __call__(self, frames: jnp.ndarray):
+        if not self.cfg.batched_snippet:
+            return self._call_per_frame(frames)
         b, n_frames, h, w, c = frames.shape
         # One batched depth pass over all snippet frames ((B·F) batch, not
         # F separate B-batches): small-channel convs at these resolutions
@@ -118,3 +120,22 @@ class ColVOModel(nn.Module):
         pose6 = jnp.concatenate([aa, tr], axis=-1)  # (S·B, 6)
         poses = jnp.transpose(pose6.reshape(n_sources, b, 6), (1, 0, 2))
         return disps, poses
+
+    def _call_per_frame(self, frames: jnp.ndarray):
+        """Reference per-frame/per-pair forward (one DepthNet call per
+        snippet frame, one PoseNet call per pair). Mathematically identical
+        to the batched path; kept as a diagnostic/fallback knob
+        (``model.batched_snippet=false``)."""
+        n_frames = frames.shape[1]
+        disps = []
+        bottlenecks = []
+        for i in range(n_frames):
+            d, bn = self.depth_net(frames[:, i])
+            disps.append(d)
+            bottlenecks.append(bn)
+        poses = []
+        for s in range(1, n_frames):
+            feats = [bottlenecks[0], bottlenecks[s]] if self.cfg.dcdp_fusion else None
+            aa, tr = self.pose(frames[:, 0], frames[:, s], feats)
+            poses.append(jnp.concatenate([aa, tr], axis=-1))
+        return disps, jnp.stack(poses, axis=1)
