@@ -78,6 +78,14 @@ class LossConfig:
     #   False, non-TPU backends, or unsupported combos (lcc_mode="gain",
     #   ssim_alpha=0) use the composed sampler + XLA stats path. Identical
     #   math either way (parity pinned in tests/test_kernels.py).
+    batched_photo: bool = False  # stack all n_scales x n_sources full-res
+    #   warp+LCC+SSIM+L1 evaluations (shape-identical under the Monodepth2
+    #   upsample-to-full-res protocol) into ONE sampler call + ONE stats
+    #   pipeline. Identical math (tests/test_losses.py) — but measured
+    #   SLOWER on-chip (115.8 vs 95.0 ms/step, B=12 256x320 serial-chain):
+    #   the jnp.tile/concat staging of sources+targets adds ~220 MB of
+    #   HBM traffic per step while the 8 per-pair fusion islands were
+    #   never launch-bound. Kept as a documented negative result.
     automask: bool = True  # identity-reprojection automasking (L3)
     min_reprojection: bool = True  # per-pixel min over source frames (L3)
     # Geometric-consistency evaluation protocol (L5). Defaults are the

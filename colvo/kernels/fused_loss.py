@@ -124,7 +124,7 @@ def _block_fields(cfg, src_ref, tgt_ref, x_ref, y_ref, j, with_grads):
         sl = slice(cg * LANES, (cg + 1) * LANES)
         x = x_ref[0, pl.ds(r0, rows), sl]
         y = y_ref[0, pl.ds(r0, rows), sl]
-        o, dx, dy = _gather_block(hw_src, src_ref, x, y)
+        o, dx, dy = _gather_block(hw_src, src_ref, x, y, with_grads)
         outs.append(o)
         if with_grads:
             dxs.append(dx)

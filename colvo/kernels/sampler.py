@@ -64,7 +64,7 @@ LANES = 128  # tpu.dynamic_gather operates within one 128-lane vreg
 SPAN_GROUPS = 3  # max horizontal source span per 128-wide tile, in vregs
 
 
-def _gather_block(hw_true, src_ref, x, y):
+def _gather_block(hw_true, src_ref, x, y, with_grads: bool = True):
     """Bilinear gather of one (tile_h, LANES) coord block from a
     VMEM-resident source plane ref → (out, dx, dy).
 
@@ -73,6 +73,11 @@ def _gather_block(hw_true, src_ref, x, y):
     Shared by the sampler kernels below and the fused loss kernel
     (colvo.kernels.fused_loss). ``hw_true`` is the unpadded source
     (H, W) — border clamp must not select pad rows/lanes.
+
+    ``with_grads=False`` drops the two coordinate-gradient accumulators
+    (dt/db) and their per-row masked adds — a measurable VPU saving on
+    the forward-only paths (VO/inference, stop-grad warps); dx/dy return
+    as None.
     """
     h_true, w_true = hw_true
     w_src = src_ref.shape[2]
@@ -102,7 +107,6 @@ def _gather_block(hw_true, src_ref, x, y):
     SUB = 8
 
     def body(rb, carry):
-        ht, hb, dt, db = carry
         r0 = pl.multiple_of(rb * SUB, SUB)
         segs = []
         for g in range(SPAN_GROUPS):  # static unroll
@@ -126,27 +130,41 @@ def _gather_block(hw_true, src_ref, x, y):
                 g0 = g0 + jnp.where(gidx0 == g, v0, 0.0)
                 g1 = g1 + jnp.where(gidx1 == g, v1, 0.0)
             hval = g0 + wx * (g1 - g0)  # horizontal lerp at source row r
-            dval = g1 - g0  # ∂hval/∂x within the cell
             is_t = y0 == r
             is_b = y1 == r
-            ht = ht + jnp.where(is_t, hval, 0.0)
-            hb = hb + jnp.where(is_b, hval, 0.0)
-            dt = dt + jnp.where(is_t, dval, 0.0)
-            db = db + jnp.where(is_b, dval, 0.0)
-        return ht, hb, dt, db
+            if with_grads:
+                ht, hb, dt, db = carry
+                dval = g1 - g0  # ∂hval/∂x within the cell
+                carry = (
+                    ht + jnp.where(is_t, hval, 0.0),
+                    hb + jnp.where(is_b, hval, 0.0),
+                    dt + jnp.where(is_t, dval, 0.0),
+                    db + jnp.where(is_b, dval, 0.0),
+                )
+            else:
+                ht, hb = carry
+                carry = (
+                    ht + jnp.where(is_t, hval, 0.0),
+                    hb + jnp.where(is_b, hval, 0.0),
+                )
+        return carry
 
     zeros = jnp.zeros((tile_h, LANES), jnp.float32)
-    ht, hb, dt, db = jax.lax.fori_loop(
-        rmin // SUB, rmax // SUB + 1, body, (zeros, zeros, zeros, zeros)
-    )
-    out = ht + wy * (hb - ht)
-    dx = dt + wy * (db - dt)
-    dy = hb - ht
-    return out, dx, dy
+    init = (zeros,) * (4 if with_grads else 2)
+    acc = jax.lax.fori_loop(rmin // SUB, rmax // SUB + 1, body, init)
+    if with_grads:
+        ht, hb, dt, db = acc
+        out = ht + wy * (hb - ht)
+        dx = dt + wy * (db - dt)
+        dy = hb - ht
+        return out, dx, dy
+    ht, hb = acc
+    return ht + wy * (hb - ht), None, None
 
 
 def _sample_kernel(hw_true, src_ref, x_ref, y_ref, out_ref):
-    out, _, _ = _gather_block(hw_true, src_ref, x_ref[0], y_ref[0])
+    out, _, _ = _gather_block(hw_true, src_ref, x_ref[0], y_ref[0],
+                              with_grads=False)
     out_ref[0] = out
 
 

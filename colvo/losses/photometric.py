@@ -36,6 +36,28 @@ def _box_sum_1d(x: jnp.ndarray, window: int, axis: int) -> jnp.ndarray:
     stat stack at B=12 256×320 — timed with the serial-chain protocol,
     scripts/bench_train.py docstring). Shift-add also lowers well on the
     CPU test backend, unlike reduce_window / wide depthwise convs."""
+    # Composite odd windows factor hierarchically: box_{a·b} =
+    # dilated-box_b(dilation=a) ∘ box_a — a+b shifted adds instead of a·b
+    # (window 15 → 3+5=8). The dilated taps at offsets m·a each cover a
+    # contiguous box_a span, tiling the full window exactly (same sum, only
+    # the f32 association order differs).
+    for a in (3, 5, 7):
+        if window > a and window % a == 0 and (window // a) % 2 == 1:
+            b = window // a
+            lo = (window - 1) // 2
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (lo, lo)
+            # Inner box on the PRE-padded array: outer taps near the border
+            # need inner sums centered outside [0, n) that still overlap
+            # real data — zero-padding the inner OUTPUT would drop them.
+            inner = _box_sum_1d(jnp.pad(x, pad), a, axis)
+            n = x.shape[axis]
+            s0 = (a - 1) // 2  # padded index of the leftmost outer tap
+            out = jax.lax.slice_in_dim(inner, s0, s0 + n, axis=axis)
+            for m in range(1, b):
+                k = s0 + m * a
+                out = out + jax.lax.slice_in_dim(inner, k, k + n, axis=axis)
+            return out
     n = x.shape[axis]
     lo = (window - 1) // 2
     hi = window - 1 - lo
@@ -46,6 +68,8 @@ def _box_sum_1d(x: jnp.ndarray, window: int, axis: int) -> jnp.ndarray:
     for k in range(1, window):
         out = out + jax.lax.slice_in_dim(padded, k, k + n, axis=axis)
     return out
+
+
 
 
 def _avg_pool_same(x: jnp.ndarray, window: int) -> jnp.ndarray:

@@ -143,44 +143,83 @@ def snippet_loss(
     geo_total = 0.0
     full_depth = None
 
+    lcc_mode = (
+        loss_cfg.lcc_mode if loss_cfg.lcc and loss_cfg.lcc_mode != "off"
+        else "off"
+    )
+
+    # -------- projection pass: per-scale geometry (cheap matmul/elementwise)
+    pix_all: List[List[jnp.ndarray]] = []  # [scale][source] (B, H, W, 2)
+    z_all: List[List[jnp.ndarray]] = []
     for scale in range(n_scales):
-        disp_s = disps[0][scale]
-        disp_full = _upsample_to(disp_s, height, width)
+        disp_full = _upsample_to(disps[0][scale], height, width)
         _, depth = disp_to_depth(
             disp_full[..., 0], model_cfg.min_depth, model_cfg.max_depth
         )
         if scale == 0:
             full_depth = depth
-
         cam_points = backproject(depth, k_inv)  # (B, H, W, 3)
+        pix_all.append([])
+        z_all.append([])
+        for s in range(n_sources):
+            pix, z = project(cam_points, k, t_mats[:, s])
+            pix_all[scale].append(pix)
+            z_all[scale].append(z)
+
+    # -------- photometric pass. ``batched_photo`` stacks all
+    # n_scales x n_sources full-res warp+LCC+SSIM+L1 evaluations (the
+    # Monodepth2 protocol makes them shape-identical) into ONE sampler
+    # call + ONE stats pipeline: fewer, larger kernels for the hottest
+    # loss path instead of 8 small fusion islands. Identical math to the
+    # per-pair loop (asserted in tests/test_losses.py).
+    err_lookup: Dict[Tuple[int, int], jnp.ndarray] = {}
+
+    def photometric_of(src_f, tgt_f, pix_f):
+        if loss_cfg.fused_kernel:
+            # K1: one Pallas kernel for warp+LCC+SSIM+L1 on TPU — no
+            # warped frame or window statistic materialized to HBM;
+            # frames are data, gradients flow through `pix` only.
+            return warp_photometric_fast(
+                src_f, tgt_f, pix_f,
+                lcc_mode, loss_cfg.lcc_window, loss_cfg.ssim_alpha,
+            )
+        warped = bilinear_sample_fast(src_f, pix_f)
+        if lcc_mode != "off":
+            warped = lcc_calibrate(warped, tgt_f, lcc_mode, loss_cfg.lcc_window)
+        return photometric_error(warped, tgt_f, loss_cfg.ssim_alpha)
+
+    if loss_cfg.batched_photo:
+        # (n_scales*S*B, H, W, …) stacks; sources vary fastest, matching
+        # frames_clean[:, 1:] layout after the flatten below.
+        pix_stack = jnp.concatenate(
+            [pix_all[sc][s] for sc in range(n_scales) for s in range(n_sources)]
+        )
+        src_one = jnp.concatenate(
+            [frames_clean[:, s + 1] for s in range(n_sources)]
+        )  # (S*B, H, W, 3)
+        src_stack = jnp.tile(src_one, (n_scales, 1, 1, 1))
+        tgt_stack = jnp.tile(tgt_clean, (n_scales * n_sources, 1, 1, 1))
+        err_stack = photometric_of(src_stack, tgt_stack, pix_stack)
+        err_stack = err_stack.reshape(n_scales, n_sources, b, height, width)
+        for sc in range(n_scales):
+            for s in range(n_sources):
+                err_lookup[(sc, s)] = err_stack[sc, s]
+
+    for scale in range(n_scales):
+        disp_s = disps[0][scale]
 
         warped_errors = []
         geo_losses = []
         geo_weights = []
         for s in range(n_sources):
             t_mat = t_mats[:, s]
-            pix, z = project(cam_points, k, t_mat)
+            pix, z = pix_all[scale][s], z_all[scale][s]
             valid = _valid_mask(pix, height, width) * (z > 0)
 
-            lcc_mode = (
-                loss_cfg.lcc_mode if loss_cfg.lcc and loss_cfg.lcc_mode != "off"
-                else "off"
-            )
-            if loss_cfg.fused_kernel:
-                # K1: one Pallas kernel for warp+LCC+SSIM+L1 on TPU — no
-                # warped frame or window statistic materialized to HBM;
-                # frames are data, gradients flow through `pix` only.
-                err = warp_photometric_fast(
-                    frames_clean[:, s + 1], tgt_clean, pix,
-                    lcc_mode, loss_cfg.lcc_window, loss_cfg.ssim_alpha,
-                )
+            if loss_cfg.batched_photo:
+                err = err_lookup[(scale, s)]
             else:
-                warped = bilinear_sample_fast(frames_clean[:, s + 1], pix)
-                if lcc_mode != "off":
-                    warped = lcc_calibrate(
-                        warped, tgt_clean, lcc_mode, loss_cfg.lcc_window
-                    )
-                err = photometric_error(warped, tgt_clean, loss_cfg.ssim_alpha)
+                err = photometric_of(frames_clean[:, s + 1], tgt_clean, pix)
 
             if loss_cfg.geometric_weight > 0:
                 if loss_cfg.geo_full_res:

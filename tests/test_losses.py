@@ -293,3 +293,30 @@ def test_geo_modes_grads_flow_and_agree_on_sign():
         leaves = jax.tree.leaves(grads)
         assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
         assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+
+
+def test_batched_photo_equals_per_pair_loop():
+    """loss.batched_photo stacks the n_scales x n_sources photometric
+    evaluations into one sampler+stats call; it must be the per-pair
+    loop's math exactly (same loss AND same param grads)."""
+    model, params, frames, k, mcfg = _setup_snippet()
+
+    def loss_fn(p, lcfg):
+        disps, poses = model.apply(p, frames)
+        loss, _ = snippet_loss(
+            disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg
+        )
+        return loss
+
+    for extra in [{}, {"lcc": False}, {"automask": False}]:
+        l_b, g_b = jax.value_and_grad(
+            lambda p: loss_fn(p, LossConfig(batched_photo=True, **extra))
+        )(params)
+        l_l, g_l = jax.value_and_grad(
+            lambda p: loss_fn(p, LossConfig(batched_photo=False, **extra))
+        )(params)
+        np.testing.assert_allclose(float(l_b), float(l_l), rtol=1e-6)
+        for a, b_ in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_l)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-7
+            )
