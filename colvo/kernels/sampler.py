@@ -37,6 +37,12 @@ Border-clamp semantics match the XLA fallback exactly (same clamping of
 x0/x1/y0/y1), pinned by the parity tests in tests/test_kernels.py
 (SURVEY.md §4.6).
 
+Negative result (bf16 gather): running the in-kernel gather in bf16 to
+halve vreg work does not compile on this toolchain — Mosaic requires
+gather index bitwidth == data bitwidth ("Gather indices and result have
+different bitwidths") and jnp.take_along_axis canonicalizes indices to
+i32 even when cast to i16 first. Gathers stay f32.
+
 Gradient: the same loop accumulates the four bilinear partial products, so
 the kernel emits the **exact analytic** ∂out/∂x = (1−wy)(g1−g0)|y0 +
 wy(g1−g0)|y1 and ∂out/∂y = h|y1 − h|y0 alongside the forward value; the
