@@ -54,20 +54,24 @@ def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
     cfg.train.log_every = 500
     cfg.train.ckpt_every_steps = steps
 
-    seqs, ks = [], []
-    for i in range(8):
-        seq = render_sequence(n_frames=64, height=cfg.data.height,
-                              width=cfg.data.width, seed=100 + 7 * i)
-        seqs.append(seq.frames)
-        ks.append(seq.k)
-    ds = SnippetDataset(seqs, ks, cfg.data.frame_offsets)
+    weights = os.path.join(out_dir, "weights.npz")
+    if os.path.exists(weights):
+        train_s = -1  # resumed past training (killed mid-eval)
+    else:
+        seqs, ks = [], []
+        for i in range(8):
+            seq = render_sequence(n_frames=64, height=cfg.data.height,
+                                  width=cfg.data.width, seed=100 + 7 * i)
+            seqs.append(seq.frames)
+            ks.append(seq.k)
+        ds = SnippetDataset(seqs, ks, cfg.data.frame_offsets)
 
-    t0 = time.time()
-    _, state = train_loop(cfg, ds, log_dir=os.path.join(out_dir, "train"),
-                          max_steps=steps)
-    train_s = time.time() - t0
-    weights = export_params(jax.tree.map(np.asarray, state.params),
-                            os.path.join(out_dir, "weights.npz"))
+        t0 = time.time()
+        _, state = train_loop(cfg, ds, log_dir=os.path.join(out_dir, "train"),
+                              max_steps=steps)
+        train_s = time.time() - t0
+        weights = export_params(jax.tree.map(np.asarray, state.params),
+                                weights)
     metrics = evaluate_synthetic(cfg, weights=weights,
                                  out_dir=os.path.join(out_dir, "eval"))
     rec = {"cell": name, "dcdp": dcdp, "lcc": lcc, "steps": steps,
