@@ -95,12 +95,17 @@ class LossConfig:
     #   resolution (4–64× less warp work at scales 1–3; the constraint is
     #   scale-local — overfit trajectories match the full-res protocol to
     #   <1% while cutting the gather+scatter cost ~3×)
-    geo_res_cap: int = 64  # max geo-grid height (native-scale protocol):
-    #   grids taller than this are 2x mean-pooled until they fit. The
-    #   depth-warp gather + scatter-add backward is the most expensive op
-    #   in the step (measured 216 of 299 ms at 256x320); the consistency
-    #   field is low-frequency, so capping trades nothing measurable on
-    #   the overfit/eval fixtures for a ~3x faster train step. 0 = no cap.
+    geo_res_cap: int = 0  # max geo-grid height (native-scale protocol):
+    #   grids taller than this are 2x mean-pooled until they fit; 0 = no
+    #   cap (default). Round 1 defaulted to 64 because the XLA depth-warp
+    #   gather + scatter-add backward dominated the step (216 of 299 ms
+    #   at 256x320); the Pallas full-grad sampler (kernels/scatter.py)
+    #   makes the honest uncapped protocol affordable, and the benchmark
+    #   A/B was decisive FOR uncapped: 4000 steps on the synthetic colon
+    #   corpus, held-out eval — abs_rel 0.065 vs 0.363, a1 0.92 vs 0.32,
+    #   rpe_rot 0.27 vs 1.42 deg (runs/ablate/ABLATION.md). The cap was
+    #   starving the geo term of high-frequency signal and quietly
+    #   changing the trained objective (VERDICT r1 weak #3).
     geo_grad: str = "both"  # gradient protocol for the sampled depth:
     #   both — gradients flow through both the projected z and the sampled
     #     source depth (family/SC-Depth semantics; XLA gather + scatter-add

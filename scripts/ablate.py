@@ -29,7 +29,7 @@ import numpy as np
 
 
 def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
-             geo_cap: int = None, name: str = None):
+             geo_cap: int = None, geo_w: float = None, name: str = None):
     import jax
     from colvo.config import ColvoConfig
     from colvo.data import SnippetDataset, render_sequence
@@ -49,6 +49,8 @@ def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
     cfg.loss.lcc = lcc
     if geo_cap is not None:
         cfg.loss.geo_res_cap = geo_cap
+    if geo_w is not None:
+        cfg.loss.geometric_weight = geo_w
     cfg.data.loader = "device"
     cfg.train.ckpt_dir = os.path.join(out_dir, "ckpt")
     cfg.train.log_every = 500
@@ -87,14 +89,19 @@ def main():
     out_root = sys.argv[2] if len(sys.argv) > 2 else "runs/ablate"
     os.makedirs(out_root, exist_ok=True)
     recs = []
-    # 2x2 DCDP/LCC grid (reference claims, README.md:5-7) ...
+    # 2x2 DCDP/LCC grid (reference claims, README.md:5-7), trained under
+    # the production default (uncapped native-scale geo protocol — the
+    # 4000-step A/B in runs/ablate/ABLATION.md flipped the default) ...
     for dcdp, lcc in [(True, True), (True, False), (False, True), (False, False)]:
         recs.append(run_cell(dcdp, lcc, steps, out_root))
-    # ... + the geo-cap A/B (VERDICT r1 #3): full model, uncapped
-    # native-scale protocol (honest objective, affordable with the Pallas
-    # scatter backward) vs the capped default.
-    recs.append(run_cell(True, True, steps, out_root, geo_cap=0,
-                         name="dcdp1_lcc1_geocap0"))
+    # ... + the geo-cap A/B under the longer schedule (capped arm; the
+    # uncapped arm IS the dcdp1_lcc1 cell above) ...
+    recs.append(run_cell(True, True, steps, out_root, geo_cap=64,
+                         name="dcdp1_lcc1_geocap64"))
+    # ... + DCDP's loss-level coupling ablated (geometric weight 0; the
+    # model-level coupling is the dcdp flag in the grid).
+    recs.append(run_cell(True, True, steps, out_root, geo_w=0.0,
+                         name="dcdp1_lcc1_geow0"))
 
     keys = [k for k in recs[0] if k not in ("cell", "dcdp", "lcc", "steps", "train_s")]
     lines = ["# DCDP / LCC ablation + geo-cap A/B (synthetic colon benchmark)",

@@ -70,8 +70,9 @@ def main():
         "geo_lcc_off": ["--loss.geometric_weight=0", "--loss.lcc=false"],
         "photo_only": ["--loss.geometric_weight=0", "--loss.lcc=false",
                        "--loss.smoothness_weight=0", "--loss.automask=false"],
-        "geo_uncapped": ["--loss.geo_res_cap=0"],
+        "geo_capped64": ["--loss.geo_res_cap=64"],  # round-1 default (A/B arm)
         "geo_full_res": ["--loss.geo_full_res=true"],
+        "fused_kernel": ["--loss.fused_kernel=true"],  # K1 Pallas loss kernel
     }
     out = {}
     for name, ov in variants.items():
