@@ -122,6 +122,9 @@ def train(
     # One background worker serializes checkpoint fetch+save off the loop.
     ckpt_pool = ThreadPoolExecutor(max_workers=1)
     step = start_step
+    import time as _time
+
+    wall_t0 = _time.time()
     for batch in stream:
         if step >= total_steps:
             break
@@ -168,5 +171,16 @@ def train(
 
     ckpt_pool.shutdown(wait=True)
     ckpt.wait()
+    # End-of-run summary: the one deliberate device sync — total wall time
+    # over executed (not just dispatched) steps is the unambiguous rate;
+    # the async per-window steps_per_sec above is an off-critical-path
+    # estimate only (metrics.py::_run).
+    jax.block_until_ready(state.params)
+    wall = _time.time() - wall_t0
+    if step > start_step and wall > 0:
+        logger.log(step, {
+            "wall_steps_per_sec": (step - start_step) / wall,
+            "wall_fps": (step - start_step) * cfg.data.batch_size / wall,
+        })
     logger.close()
     return model, state

@@ -98,7 +98,7 @@ class AsyncMetricsLogger:
         """Enqueue without blocking; drop when the writer lags (the slow
         link sets the logging rate, not the training rate)."""
         try:
-            self._q.put_nowait((step, metrics))
+            self._q.put_nowait((step, time.time(), metrics))
         except queue.Full:
             self.dropped += 1
 
@@ -107,31 +107,41 @@ class AsyncMetricsLogger:
             item = self._q.get()
             if item is None:
                 return
-            step, metrics = item
-            try:
-                vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
-            except Exception:
-                self.bad_steps += 1
-                continue
-            loss = vals.get(self.loss_key)
-            if loss is not None and not np.isfinite(loss):
-                self.bad_steps += 1
-            else:
-                self.bad_steps = 0
-            # Honest throughput without syncing the training loop: the
-            # blocking fetch above pins this thread's clock to computed
-            # work (dispatch runs far ahead of execution on this
-            # platform), so consecutive fetch-completion times bound the
-            # real step rate — the main thread never pays the link round
-            # trip (it used to cost ~1 s per log_every steps).
-            now = time.time()
-            if self._last_done is not None and step > self._last_done[0]:
-                sps = (step - self._last_done[0]) / max(now - self._last_done[1], 1e-9)
-                vals["steps_per_sec"] = sps
-                if self.fps_scale:
-                    vals["fps"] = sps * self.fps_scale
-            self._last_done = (step, now)
-            self.writer.log_scalars(step, vals)
+            self._process(item)
+
+    def _process(self, item) -> None:
+        step, enq_t, metrics = item
+        try:
+            vals = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        except Exception:
+            self.bad_steps += 1
+            return
+        loss = vals.get(self.loss_key)
+        if loss is not None and not np.isfinite(loss):
+            self.bad_steps += 1
+        else:
+            self.bad_steps = 0
+        # Honest throughput without syncing the training loop: the blocking
+        # fetch above pins this thread's clock to computed work, so
+        # consecutive fetch-completion times bound the real step rate — but
+        # ONLY when this thread was idle-waiting for the item. If the item
+        # was enqueued before the previous fetch completed (a backlog —
+        # this platform executes dispatched steps in bursts), the gap
+        # measures queue-drain speed, not training, and reads ~100-1000x
+        # too fast; skip the stamp. The unambiguous number is the training
+        # loop's end-of-run wall_steps_per_sec (loop.py).
+        now = time.time()
+        if (
+            self._last_done is not None
+            and step > self._last_done[0]
+            and enq_t >= self._last_done[1]
+        ):
+            sps = (step - self._last_done[0]) / max(now - self._last_done[1], 1e-9)
+            vals["steps_per_sec"] = sps
+            if self.fps_scale:
+                vals["fps"] = sps * self.fps_scale
+        self._last_done = (step, now)
+        self.writer.log_scalars(step, vals)
 
     def close(self) -> None:
         self._q.put(None)
