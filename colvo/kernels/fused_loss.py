@@ -59,6 +59,7 @@ from colvo.kernels.sampler import LANES, _gather_block
 
 TILE_H = 64
 HALO = 16  # >= lcc_window//2 + ssim_window//2 + 1 backward support row
+GATHER_ROWS = 32  # row sub-tile for the gather (must divide TILE_H + 2*HALO)
 C1 = 0.01**2
 C2 = 0.03**2
 LCC_EPS = 1e-4
@@ -118,17 +119,29 @@ def _block_fields(cfg, src_ref, tgt_ref, x_ref, y_ref, j, with_grads):
     gj = jax.lax.broadcasted_iota(jnp.int32, (rows, w_pad), 1)
     valid = ((gi >= 0) & (gi < h_out) & (gj < w_out)).astype(jnp.float32)
 
-    # warp the block (col-group loop over the padded width)
+    # Warp the block: col-group loop over the padded width × row sub-tiles.
+    # The gather's masked-accumulate costs O(source_row_span × tile_rows)
+    # — quadratic in tile height — so gathering the 96-row halo block in
+    # one piece does ~3× the VPU work of the sampler's 32-row tiles.
+    # Sub-tiling restores the sampler's per-element cost; each sub-tile's
+    # fori_loop covers only its own source-row span.
     outs, dxs, dys = [], [], []
     for cg in range(w_pad // LANES):
         sl = slice(cg * LANES, (cg + 1) * LANES)
-        x = x_ref[0, pl.ds(r0, rows), sl]
-        y = y_ref[0, pl.ds(r0, rows), sl]
-        o, dx, dy = _gather_block(hw_src, src_ref, x, y, with_grads)
-        outs.append(o)
+        o_st, dx_st, dy_st = [], [], []
+        for st in range(rows // GATHER_ROWS):
+            rs = pl.multiple_of(r0 + st * GATHER_ROWS, GATHER_ROWS)
+            x = x_ref[0, pl.ds(rs, GATHER_ROWS), sl]
+            y = y_ref[0, pl.ds(rs, GATHER_ROWS), sl]
+            o, dx, dy = _gather_block(hw_src, src_ref, x, y, with_grads)
+            o_st.append(o)
+            if with_grads:
+                dx_st.append(dx)
+                dy_st.append(dy)
+        outs.append(jnp.concatenate(o_st, axis=0))
         if with_grads:
-            dxs.append(dx)
-            dys.append(dy)
+            dxs.append(jnp.concatenate(dx_st, axis=0))
+            dys.append(jnp.concatenate(dy_st, axis=0))
     w = jnp.concatenate(outs, axis=1) * valid
     dx = jnp.concatenate(dxs, axis=1) if with_grads else None
     dy = jnp.concatenate(dys, axis=1) if with_grads else None
