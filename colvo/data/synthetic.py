@@ -234,8 +234,16 @@ def render_sequence(
     k: np.ndarray | None = None,
     seed: int = 11,
     light_falloff: bool = True,
+    exposure_jitter: float = 0.0,
 ) -> ColonSequence:
-    """Render a full sequence with GT depth + poses."""
+    """Render a full sequence with GT depth + poses.
+
+    ``exposure_jitter`` models endoscope auto-exposure: each frame's RGB
+    is scaled by an independent gain ~ U(1-j, 1+j) (then clipped — bright
+    walls saturate, as real sensors do). This is the photometric nuisance
+    LCC exists to absorb (reference README.md:6-7 "brightness
+    variations"); the headlight falloff alone is geometrically consistent
+    between frames, so it does not exercise LCC (see runs/ablate)."""
     if k is None:
         k = np.array(
             [[0.6 * width, 0.0, width / 2.0],
@@ -246,8 +254,12 @@ def render_sequence(
     poses = make_trajectory(n_frames, step=step, wobble=wobble, seed=seed)
     frames = np.zeros((n_frames, height, width, 3), dtype=np.float32)
     depths = np.zeros((n_frames, height, width), dtype=np.float32)
+    gain_rng = np.random.default_rng(seed + 77)
     for i in range(n_frames):
         frames[i], depths[i] = render_frame(
             poses[i], k, height, width, radius, light_falloff=light_falloff
         )
+        if exposure_jitter:
+            gain = 1.0 + gain_rng.uniform(-exposure_jitter, exposure_jitter)
+            frames[i] = np.clip(frames[i] * gain, 0.0, 1.0)
     return ColonSequence(frames=frames, depths=depths, poses=poses, k=k)

@@ -248,13 +248,19 @@ def evaluate_synthetic(
     weights: Optional[str] = None,
     out_dir: str = "runs/eval",
     n_frames: int = 48,
+    exposure_jitter: float = 0.0,
 ) -> Dict[str, float]:
     """Full evaluation on a held-out rendered sequence: depth metrics, ATE,
-    reconstruction + the three reference figure types (call stack §3.4)."""
+    reconstruction + the three reference figure types (call stack §3.4).
+
+    ``exposure_jitter``: per-frame auto-exposure gain on the eval
+    sequence (data/synthetic.py) — the LCC-in-regime ablation evaluates
+    under the same photometric nuisance it trains with."""
     os.makedirs(out_dir, exist_ok=True)
     runner = make_runner(cfg, weights)
     seq = render_sequence(
-        n_frames=n_frames, height=cfg.data.height, width=cfg.data.width, seed=999
+        n_frames=n_frames, height=cfg.data.height, width=cfg.data.width,
+        seed=999, exposure_jitter=exposure_jitter,
     )
     # depth
     depth_metrics, preds = evaluate_depth(runner, seq.frames, seq.depths, cfg)

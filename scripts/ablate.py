@@ -29,7 +29,8 @@ import numpy as np
 
 
 def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
-             geo_cap: int = None, geo_w: float = None, name: str = None):
+             geo_cap: int = None, geo_w: float = None, name: str = None,
+             exp_jitter: float = 0.0):
     import jax
     from colvo.config import ColvoConfig
     from colvo.data import SnippetDataset, render_sequence
@@ -63,7 +64,8 @@ def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
         seqs, ks = [], []
         for i in range(8):
             seq = render_sequence(n_frames=64, height=cfg.data.height,
-                                  width=cfg.data.width, seed=100 + 7 * i)
+                                  width=cfg.data.width, seed=100 + 7 * i,
+                                  exposure_jitter=exp_jitter)
             seqs.append(seq.frames)
             ks.append(seq.k)
         ds = SnippetDataset(seqs, ks, cfg.data.frame_offsets)
@@ -75,7 +77,8 @@ def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
         weights = export_params(jax.tree.map(np.asarray, state.params),
                                 weights)
     metrics = evaluate_synthetic(cfg, weights=weights,
-                                 out_dir=os.path.join(out_dir, "eval"))
+                                 out_dir=os.path.join(out_dir, "eval"),
+                                 exposure_jitter=exp_jitter)
     rec = {"cell": name, "dcdp": dcdp, "lcc": lcc, "steps": steps,
            "train_s": round(train_s), **{k: round(v, 4) for k, v in metrics.items()}}
     with open(done_path, "w") as f:
@@ -99,9 +102,17 @@ def main():
     recs.append(run_cell(True, True, steps, out_root, geo_cap=64,
                          name="dcdp1_lcc1_geocap64"))
     # ... + DCDP's loss-level coupling ablated (geometric weight 0; the
-    # model-level coupling is the dcdp flag in the grid).
+    # model-level coupling is the dcdp flag in the grid) ...
     recs.append(run_cell(True, True, steps, out_root, geo_w=0.0,
                          name="dcdp1_lcc1_geow0"))
+    # ... + LCC in its intended regime: per-frame auto-exposure gain
+    # (U(0.65, 1.35), train AND eval). The plain grid's headlight falloff
+    # is geometrically consistent between frames, so LCC has nothing to
+    # absorb there; this pair tests the reference's actual claim
+    # ("accounts for brightness variations", README.md:6-7).
+    for lcc in (True, False):
+        recs.append(run_cell(True, lcc, steps, out_root, exp_jitter=0.35,
+                             name=f"expjit_dcdp1_lcc{int(lcc)}"))
 
     keys = [k for k in recs[0] if k not in ("cell", "dcdp", "lcc", "steps", "train_s")]
     lines = ["# DCDP / LCC ablation + geo-cap A/B (synthetic colon benchmark)",

@@ -114,3 +114,19 @@ def test_array_source_roundtrip(seq):
     src = ArraySource(seq.frames)
     assert len(src) == 16
     np.testing.assert_array_equal(src[3], seq.frames[3])
+
+
+def test_exposure_jitter_scales_frames_only():
+    # auto-exposure nuisance (LCC-in-regime ablation): per-frame gain on
+    # RGB, deterministic in seed; geometry (depth/poses) untouched.
+    a = render_sequence(n_frames=5, height=48, width=64, seed=5)
+    b = render_sequence(n_frames=5, height=48, width=64, seed=5,
+                        exposure_jitter=0.35)
+    gains = b.frames.mean(axis=(1, 2, 3)) / a.frames.mean(axis=(1, 2, 3))
+    assert gains.std() > 0.05  # frames genuinely differ in exposure
+    np.testing.assert_array_equal(a.depths, b.depths)
+    np.testing.assert_array_equal(a.poses, b.poses)
+    assert b.frames.min() >= 0.0 and b.frames.max() <= 1.0
+    c = render_sequence(n_frames=5, height=48, width=64, seed=5,
+                        exposure_jitter=0.35)
+    np.testing.assert_array_equal(b.frames, c.frames)
