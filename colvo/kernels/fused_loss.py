@@ -2,6 +2,15 @@
 BASELINE.json north star "fuse into a single loss kernel to avoid
 materializing warped intermediates"; VERDICT r1 next-step 2).
 
+MEASURED NEGATIVE RESULT — built, exact parity, and the composed path
+wins: 68 vs ~250 ms fwd+bwd at the production 96-frame stack
+(scripts/bench_fused.py; README "fused loss kernel" note). The warped
+intermediates the fusion avoids are ~0.4 ms of HBM traffic, while the
+kernel pays 1.5x halo recompute on every windowed statistic and must
+re-gather the warp in the backward — the composed path's backward is
+nearly free off the sampler's saved analytic coordinate gradients.
+Kept correct + opt-in (`loss.fused_kernel`) as the record of why.
+
 One kernel evaluates the whole per-source photometric error map: project
 -ed coordinates come in, the per-pixel error comes out — the warped
 frame, the LCC calibration fields, and every windowed statistic live

@@ -6,6 +6,16 @@ loss components — guides kernel-fusion work (VERDICT round 1 weak #2).
 
 Usage: python scripts/bench_decompose.py
 Prints one JSON line per variant.
+
+Measured (TPU v5 lite, fresh process, ms/step): full 92.2, geo_off 81.2,
+lcc_off 85.1, geo_lcc_off 72.9, photo_only 68.9, geo_capped64 86.4,
+geo_full_res 92.3, fused_kernel 204.7 (see kernels/fused_loss.py),
+ssim_off 265.8. The ssim_off anomaly is an XLA fusion regression, not
+compute: identical FLOPs (1527 vs 1530 G) but 164.8 vs 59.8 GB accessed
+(compiled-program cost analysis) — removing SSIM breaks the fusion that
+keeps the loss stacks on-chip. Diagnostic-only config; not a production
+path. The full step itself runs at ~650 GB/s of its 59.8 GB ≈ 80% of
+v5e HBM peak — the step is bandwidth-bound (README roofline row).
 """
 
 import json
