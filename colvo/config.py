@@ -143,6 +143,10 @@ class TrainConfig:
     ckpt_dir: str = "checkpoints"
     ckpt_keep: int = 3
     max_bad_steps: int = 10  # NaN-loss abort guard (SURVEY.md §5.3)
+    dispatch_ahead_windows: int = 2  # bound async dispatch to N log_every
+    #   windows past executed work (runtime/loop.py): one tunnel round
+    #   trip per window when healthy; back-pressure + a dispatch-side
+    #   NaN hard stop when the device crawls or the model diverges
     profile_steps: str = ""  # "a:b" window for jax.profiler (SURVEY.md §5.1)
     deterministic: bool = False  # pin matmul precision to 'highest' and
     #   replay-stable PRNG streams (SURVEY.md §5.2); TPU execution is

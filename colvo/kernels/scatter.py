@@ -61,6 +61,14 @@ from colvo.kernels.sampler import (
 
 DEFAULT_TILE_H = 32
 LOCAL_W_MAX = 512  # max lanes covered by one local accumulation tile
+# Static caps on visited offset classes per tile (see cap note in-kernel).
+# Sized to stay EXACT for any physical warp: vertical spans reach
+# tile_h + local row-displacement spread (border clamp pileups + fast
+# motion ⇒ ~32+2*30), horizontal spans reach ~129 when a whole lane-tile
+# clamps onto one image column. Only diverged/garbage warps (spread over
+# the full image, spans ~288 x ~448) exceed them.
+V_CAP = 96
+H_CAP = 160
 
 
 def _scatter_kernel(hw_true, hw_out_true, tile_h, local_w,
@@ -116,8 +124,18 @@ def _scatter_kernel(hw_true, hw_out_true, tile_h, local_w,
     dmax = functools.reduce(
         jnp.maximum, [jnp.max(jnp.where(nz, d, -BIG)) for d in ds]
     )
-    n_vert = jnp.maximum(emax - emin + 1, 0)  # 0 when the tile is all-zero
-    n_horz = jnp.maximum(dmax - dmin + 1, 0)
+    # Static caps on the visited offset-class spans. The trip counts are
+    # DATA-dependent: a sane VO warp spans a handful of classes, but a
+    # diverged model (pre-NaN-guard steps) scatters across the whole
+    # image — up to ~(H+TILE)x(W+128) classes, ~10^4x the typical cost,
+    # which crawls the device while the async dispatch loop keeps
+    # queueing steps: device->host fetches then starve and training
+    # wedges (observed: exposure-jitter cell, round 2). Classes beyond
+    # the caps are dropped — exact for any physical warp (caps are ~5x
+    # the worst measured span), garbage-gradient-only for diverged ones,
+    # and the loop's NaN guard is the backstop.
+    n_vert = jnp.minimum(jnp.maximum(emax - emin + 1, 0), V_CAP)
+    n_horz = jnp.minimum(jnp.maximum(dmax - dmin + 1, 0), H_CAP)
 
     # Lane window covered by the local tile (128-aligned, clipped).
     cbase = pl.multiple_of(

@@ -122,6 +122,9 @@ def train(
     # One background worker serializes checkpoint fetch+save off the loop.
     ckpt_pool = ThreadPoolExecutor(max_workers=1)
     step = start_step
+    from collections import deque
+
+    inflight = deque()  # (step, loss) handles awaiting retirement
     import time as _time
 
     wall_t0 = _time.time()
@@ -146,6 +149,20 @@ def train(
             # own blocking-fetch completion times — honest wall clock with
             # zero main-thread device syncs (metrics.py::_run).
             logger.log(step, dict(metrics))
+            # Bounded dispatch-ahead: async dispatch can run arbitrarily
+            # far past execution, so a crawling device (e.g. a diverged
+            # model driving a data-dependent kernel into its worst case)
+            # accumulates an unbounded queue and every value-based guard
+            # starves. Retire the loss from N windows back — one tunnel
+            # round trip per window when healthy (<2% at current rates),
+            # hard back-pressure + a dispatch-side NaN stop when not.
+            inflight.append((step, metrics.get("loss/total")))
+            while len(inflight) > max(int(cfg.train.dispatch_ahead_windows), 1):
+                s_old, v_old = inflight.popleft()
+                if v_old is not None and not np.isfinite(float(np.asarray(v_old))):
+                    raise RuntimeError(
+                        f"aborting: non-finite loss at step {s_old}"
+                    )
 
         if step % cfg.train.ckpt_every_steps == 0 or step == total_steps:
             # Snapshot on device (cheap copy; the live buffers get donated

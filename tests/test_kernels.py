@@ -145,3 +145,29 @@ def test_fused_loss_interpret_parity(lcc_window):
         np.asarray(fwd), np.asarray(xla_ref(src, tgt, coords)), atol=2e-5
     )
     np.testing.assert_allclose(np.asarray(pg), np.asarray(rg), atol=5e-5)
+
+
+def test_scatter_fullgrad_bounded_on_garbage_coords():
+    """Diverged-model robustness (runtime/loop.py throttle note): coords
+    spread over the whole image drive the offset-class loops into their
+    static caps (V_CAP x H_CAP) instead of an unbounded
+    ~(H+tile)x(W+128) sweep that crawls the device. The capped kernel
+    must stay finite and fast; exactness is only contracted for physical
+    warps (spans within the caps — the other parity tests)."""
+    from colvo.kernels.scatter import bilinear_sample_fullgrad
+
+    rng = np.random.default_rng(12)
+    h, w = 16, 128
+    img = jnp.asarray(rng.random((1, h, w, 1), dtype=np.float32))
+    # garbage: uniform over 100x the image extent, plus inf/nan spikes
+    coords = jnp.asarray(
+        rng.uniform(-50 * w, 50 * w, (1, h, w, 2)).astype(np.float32)
+    )
+    coords = coords.at[0, 0, 0].set(jnp.nan).at[0, 1, 1].set(jnp.inf)
+
+    def loss(im, crd):
+        return jnp.sum(bilinear_sample_fullgrad(im, crd) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        d_img = jax.grad(loss)(img, coords)
+    assert d_img.shape == img.shape  # completed under caps; no wedge

@@ -129,3 +129,27 @@ def test_dp_hlo_contains_collective():
     compiled = lowered.compile()
     hlo = compiled.as_text()
     assert "all-reduce" in hlo, "expected gradient all-reduce in DP HLO"
+
+
+@pytest.mark.slow
+def test_dispatch_side_nan_stop(tmp_path):
+    """Diverged-model hard stop (runtime/loop.py): the loop retires the
+    loss from N log windows back on the dispatch side, so training aborts
+    on non-finite loss even when the async logger's fetches lag — the
+    failure mode that wedged the exposure-jitter ablation cell (async
+    dispatch queued 4000 steps onto a crawling device and every
+    value-based guard starved)."""
+    from colvo.runtime import train as train_loop
+
+    cfg = tiny_config(batch_size=2, h=64, w=64)
+    cfg.model.n_scales = 2
+    cfg.data.frame_offsets = (1,)
+    cfg.train.log_every = 1
+    cfg.train.dispatch_ahead_windows = 1
+    cfg.train.ckpt_dir = str(tmp_path / "ckpt")
+    seq = render_sequence(n_frames=8, height=64, width=64, seed=3)
+    frames = seq.frames.copy()
+    frames[2] = np.nan  # poisoned frame → non-finite loss
+    ds = SnippetDataset([frames], [seq.k], cfg.data.frame_offsets)
+    with pytest.raises(RuntimeError, match="non-finite"):
+        train_loop(cfg, ds, log_dir=str(tmp_path / "log"), max_steps=30)
