@@ -61,9 +61,16 @@ def _launch_pair():
 def test_two_process_spmd_step(tmp_path):
     # One retry: the coordination-service/gloo handshake has a fixed 30 s
     # deadline that can flake when the host is saturated (e.g. the rest of
-    # the suite hammering every core); a real regression fails twice.
-    procs, outs = _launch_pair()
-    if any(p.returncode != 0 for p in procs):
+    # the suite hammering every core), and a cold compile cache can push a
+    # 1-core worker past the subprocess deadline entirely — the failed
+    # attempt still populates the persistent compile cache, so the retry
+    # rendezvous lands within seconds. A real regression fails twice.
+    try:
+        procs, outs = _launch_pair()
+        ok = all(p.returncode == 0 for p in procs)
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
         procs, outs = _launch_pair()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} rc={p.returncode}\n{out[-4000:]}"
