@@ -7,15 +7,20 @@ loss components — guides kernel-fusion work (VERDICT round 1 weak #2).
 Usage: python scripts/bench_decompose.py
 Prints one JSON line per variant.
 
-Measured (TPU v5 lite, fresh process, ms/step): full 92.2, geo_off 81.2,
-lcc_off 85.1, geo_lcc_off 72.9, photo_only 68.9, geo_capped64 86.4,
-geo_full_res 92.3, fused_kernel 204.7 (see kernels/fused_loss.py),
-ssim_off 265.8. The ssim_off anomaly is an XLA fusion regression, not
-compute: identical FLOPs (1527 vs 1530 G) but 164.8 vs 59.8 GB accessed
-(compiled-program cost analysis) — removing SSIM breaks the fusion that
-keeps the loss stacks on-chip. Diagnostic-only config; not a production
-path. The full step itself runs at ~650 GB/s of its 59.8 GB ≈ 80% of
-v5e HBM peak — the step is bandwidth-bound (README roofline row).
+Measured (TPU v5 lite, fresh process, ms/step, multi-channel sampler):
+full 90.9, geo_off 81.2, lcc_off 85.1, geo_lcc_off 72.9, photo_only
+68.9, geo_capped64 86.4, geo_full_res 92.3, ssim_off 63.3, fused_kernel
+204.8 (see kernels/fused_loss.py). Historical note: with the old
+plane-per-channel sampler, ssim_off measured 265.8 — an XLA fusion
+regression (identical FLOPs, 164.8 vs 59.8 GB accessed) triggered by
+the coords-repeat/reshape chain around the gather; the multi-channel
+sampler layout removed it.
+
+``--bytes`` prints compiled-program FLOPs + bytes per variant instead of
+timing. Measured: full 1529.8 GFLOP / 59.6 GB per step → at 90.9 ms the
+step moves ~656 GB/s ≈ 80% of v5e HBM peak — bandwidth-bound (README
+roofline row); base model+photometric carries 44.1 GB, LCC stats +8.5,
+SSIM +4.9, geo-consistency +2.1.
 """
 
 import json
@@ -71,7 +76,36 @@ def time_step(cfg_overrides, batch_src=None, n1=10, n2=40):
     return best * 1e3
 
 
+def cost_of(cfg_overrides):
+    """Compiled-program FLOPs + bytes accessed (XLA cost analysis) for one
+    variant — attributes the step's memory traffic (the step is
+    bandwidth-bound; see module docstring) without timing noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from colvo.config import ColvoConfig
+    from colvo.data import SnippetDataset, batch_iterator, render_sequence
+    from colvo.runtime import init_state, make_optimizer, make_train_step
+
+    cfg = ColvoConfig()
+    if cfg_overrides:
+        cfg.apply_overrides(cfg_overrides)
+    model, state = init_state(cfg, jax.random.key(0))
+    tx = make_optimizer(cfg)
+    step_fn = make_train_step(model, tx, cfg)
+    seq = render_sequence(
+        n_frames=16, height=cfg.data.height, width=cfg.data.width, seed=0
+    )
+    ds = SnippetDataset([seq.frames], [seq.k], cfg.data.frame_offsets)
+    batch = jax.tree.map(jnp.asarray, next(batch_iterator(ds, cfg.data, seed=0)))
+    ca = step_fn.lower(state, batch).compile().cost_analysis()
+    c = ca[0] if isinstance(ca, (list, tuple)) else ca
+    return {"flops_G": round(float(c.get("flops", 0)) / 1e9, 1),
+            "bytes_GB": round(float(c.get("bytes accessed", 0)) / 1e9, 2)}
+
+
 def main():
+    do_cost = "--bytes" in sys.argv
     variants = {
         "full": [],
         "geo_off": ["--loss.geometric_weight=0"],
@@ -87,14 +121,15 @@ def main():
     out = {}
     for name, ov in variants.items():
         try:
-            ms = time_step(ov)
+            if do_cost:
+                rec = cost_of(ov)
+            else:
+                rec = round(time_step(ov), 1)
         except Exception as e:  # keep going; report the failure
-            out[name] = f"ERROR: {type(e).__name__}: {e}"
-            print(json.dumps({name: out[name]}), flush=True)
-            continue
-        out[name] = round(ms, 1)
-        print(json.dumps({name: out[name]}), flush=True)
-    print(json.dumps({"summary_ms": out}))
+            rec = f"ERROR: {type(e).__name__}: {e}"
+        out[name] = rec
+        print(json.dumps({name: rec}), flush=True)
+    print(json.dumps({("summary_cost" if do_cost else "summary_ms"): out}))
 
 
 if __name__ == "__main__":

@@ -38,28 +38,35 @@ import numpy as np
 
 
 def chain_ms(fn, args, n1=5, n2=20):
-    """Serial-chain slope time of y = fn(*args) in ms (y feeds arg 0)."""
+    """Serial-chain slope time of y = fn(*args) in ms (y feeds arg 0).
+
+    On this tunneled platform ``block_until_ready`` can return before
+    execution finishes (README measurement note) — the only trusted sync
+    is a real data fetch, so each chain ends with ``float(scalar)``; the
+    fetch + dispatch overhead is constant and cancels in the slope."""
     y = fn(*args)
     jax.block_until_ready(y)  # compile + warm
 
     def chain(n):
         a = list(args)
         t0 = time.time()
-        out = None
+        s = None
         for _ in range(n):
             out = fn(*a)
             # thread a scalar from the output back through arg 0 so the
             # chain is serially dependent (no overlap between iterations)
             s = sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out))
             a[0] = a[0] + 0.0 * s.astype(a[0].dtype)
-        jax.block_until_ready(out)
+        float(s)  # real fetch: pins the clock to executed work
         return time.time() - t0
 
-    best = float("inf")
-    for _ in range(2):
-        t1, t2 = chain(n1), chain(n2)
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return best * 1e3
+    # Tunnel stalls only ever inflate a chain's wall time (README: ~2x
+    # run-to-run variance), so min-per-length over repeats is the clean
+    # estimate; the slope of the mins cancels dispatch/fetch overhead.
+    chain(n1)  # warm the threading ops too
+    t1 = min(chain(n1) for _ in range(3))
+    t2 = min(chain(n2) for _ in range(3))
+    return max((t2 - t1) / (n2 - n1), 0.0) * 1e3
 
 
 def main():
