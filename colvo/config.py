@@ -82,7 +82,8 @@ class LossConfig:
     #   warp+LCC+SSIM+L1 evaluations (shape-identical under the Monodepth2
     #   upsample-to-full-res protocol) into ONE sampler call + ONE stats
     #   pipeline. Identical math (tests/test_losses.py) — but measured
-    #   SLOWER on-chip (115.8 vs 95.0 ms/step, B=12 256x320 serial-chain):
+    #   SLOWER on-chip (110.1 vs 90.3 ms/step with the multi-channel
+    #   sampler; 115.8 vs 95.0 with the round-1 plane sampler):
     #   the jnp.tile/concat staging of sources+targets adds ~220 MB of
     #   HBM traffic per step while the 8 per-pair fusion islands were
     #   never launch-bound. Kept as a documented negative result.
