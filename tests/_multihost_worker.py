@@ -90,6 +90,27 @@ def main():
         return jax.make_array_from_process_local_data(rep, x)
 
     gbatch = jax.tree.map(place, batch)
+
+    # Warm-up barrier: the first executed cross-process collective
+    # initializes the Gloo context with a fixed ~30 s connect deadline,
+    # while the two 1-core workers can be minutes apart in compile
+    # progress. Retry a trivial global sum over the (process-sharded)
+    # frames — XLA must all-reduce it, so success means both sides are
+    # connected and the real step never trips the deadline. A genuine
+    # connectivity bug still fails (retry cap).
+    import time as _time
+
+    for attempt in range(10):
+        try:
+            float(np.asarray(jax.device_get(
+                jax.jit(lambda f: f.sum())(gbatch["frames"])
+            )))
+            break
+        except Exception:  # Gloo ctx init deadline — peer not up yet
+            if attempt == 9:
+                raise
+            _time.sleep(10)
+
     state, metrics = step_fn(state, gbatch)
     loss = float(np.asarray(jax.device_get(metrics["loss/total"])))
     assert np.isfinite(loss), loss
