@@ -119,6 +119,13 @@ class LossConfig:
     #     the overfit fixture (loss 0.135→0.133 in 20 steps vs 0.135→0.100
     #     for "both") — like one-sided stop-grad, the constraint appears
     #     to need true gradient through the sampled side.
+    scatter_audit: bool = False  # emit aux metric geo/scatter_overflow:
+    #   offset classes the Pallas scatter backward would DROP for this
+    #   step's depth warps (kernels/scatter.py::scatter_cap_overflow).
+    #   0 for any physical warp; nonzero means the V_CAP/H_CAP exactness
+    #   contract was violated and source-depth gradients were truncated.
+    #   Debug-mode observability (ADVICE r2 medium); off by default —
+    #   costs a few small reductions per geo warp.
     geo_stopgrad: bool = False  # True: stop-gradient the warped source
     #   depth (pseudo-label consistency) — enables the Pallas
     #   no-source-grad sampler on TPU instead of XLA gather + scatter-add

@@ -305,6 +305,18 @@ def snippet_loss(
                         src_depth_g[..., None], pix_g
                     )[..., 0]
                     g_loss_r = None
+                    if loss_cfg.scatter_audit:
+                        # Observability for the scatter kernel's static
+                        # offset-class caps: count classes it would drop
+                        # for this warp (0 = exact; ADVICE r2 medium).
+                        from colvo.kernels.scatter import scatter_cap_overflow
+
+                        ov = scatter_cap_overflow(
+                            jax.lax.stop_gradient(pix_g), (h_g, w_g)
+                        )
+                        aux["geo/scatter_overflow"] = (
+                            aux.get("geo/scatter_overflow", 0) + ov
+                        )
                 # In-bounds pixels only in the mask; behind-camera (z≤0)
                 # pixels stay IN and score diff=1 — dropping them creates
                 # a degenerate all-invalid minimum the uncapped geo

@@ -125,6 +125,18 @@ def train(
     from collections import deque
 
     inflight = deque()  # (step, loss) handles awaiting retirement
+
+    def drain_inflight(down_to: int = 0) -> None:
+        """Retire queued loss handles (blocking fetch) down to ``down_to``
+        entries; raise on any non-finite value. Called with 0 before the
+        final checkpoint and at loop exit so a NaN inside the last
+        dispatch-ahead windows cannot escape the dispatch-side stop and
+        checkpoint poisoned params (ADVICE r2)."""
+        while len(inflight) > down_to:
+            s_old, v_old = inflight.popleft()
+            if v_old is not None and not np.isfinite(float(np.asarray(v_old))):
+                raise RuntimeError(f"aborting: non-finite loss at step {s_old}")
+
     import time as _time
 
     wall_t0 = _time.time()
@@ -157,14 +169,13 @@ def train(
             # round trip per window when healthy (<2% at current rates),
             # hard back-pressure + a dispatch-side NaN stop when not.
             inflight.append((step, metrics.get("loss/total")))
-            while len(inflight) > max(int(cfg.train.dispatch_ahead_windows), 1):
-                s_old, v_old = inflight.popleft()
-                if v_old is not None and not np.isfinite(float(np.asarray(v_old))):
-                    raise RuntimeError(
-                        f"aborting: non-finite loss at step {s_old}"
-                    )
+            drain_inflight(max(int(cfg.train.dispatch_ahead_windows), 1))
 
         if step % cfg.train.ckpt_every_steps == 0 or step == total_steps:
+            if step == total_steps:
+                # Final checkpoint: retire every queued loss first so a
+                # late NaN aborts before poisoned params get saved.
+                drain_inflight(0)
             # Snapshot on device (cheap copy; the live buffers get donated
             # to the next step), then fetch + save off the critical path —
             # a synchronous full-state fetch costs ~state_bytes/link_bw on
@@ -186,6 +197,7 @@ def train(
             if scalars:
                 logger.log(step, scalars)
 
+    drain_inflight(0)  # early break / non-aligned final step
     ckpt_pool.shutdown(wait=True)
     ckpt.wait()
     # End-of-run summary: the one deliberate device sync — total wall time

@@ -171,3 +171,52 @@ def test_scatter_fullgrad_bounded_on_garbage_coords():
     with pltpu.force_tpu_interpret_mode():
         d_img = jax.grad(loss)(img, coords)
     assert d_img.shape == img.shape  # completed under caps; no wedge
+
+
+def test_scatter_cap_overflow_audit():
+    """The overflow audit (ADVICE r2 medium) makes the scatter kernel's
+    static-cap exactness contract observable: 0 dropped classes for a
+    physical VO warp, nonzero for a garbage warp that exceeds the caps."""
+    from colvo.kernels.scatter import scatter_cap_overflow
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 128
+    # physical warp: near-identity grid plus small smooth displacement
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    sane = np.stack([gx + 3.0 * np.sin(gy / 17.0), gy + 2.5], axis=-1)[None]
+    assert int(scatter_cap_overflow(jnp.asarray(sane), (h, w))) == 0
+
+    # garbage warp: coords spread over 100x the image extent
+    bad = rng.uniform(-50 * w, 50 * w, (1, h, w, 2)).astype(np.float32)
+    assert int(scatter_cap_overflow(jnp.asarray(bad), (h, w))) > 0
+
+    # non-tile-aligned output grid: padding must not poison the spans
+    assert int(scatter_cap_overflow(jnp.asarray(sane[:, : h - 7, : w - 5]),
+                                    (h, w))) == 0
+
+    # wired through the loss: aux metric appears under loss.scatter_audit
+    from colvo.config import ColvoConfig
+    from colvo.data import SnippetDataset, batch_iterator, render_sequence
+    from colvo.models import ColVOModel
+
+    cfg = ColvoConfig()
+    cfg.model.dtype = "float32"
+    cfg.model.n_scales = 1
+    cfg.data.height = cfg.data.width = 32
+    cfg.data.batch_size = 2
+    cfg.data.augment = False
+    cfg.loss.scatter_audit = True
+    seq = render_sequence(n_frames=4, height=32, width=32, seed=0)
+    ds = SnippetDataset([seq.frames], [seq.k], cfg.data.frame_offsets)
+    batch = next(batch_iterator(ds, cfg.data, seed=0))
+    model = ColVOModel(cfg.model)
+    frames = jnp.asarray(batch["frames"])
+    params = model.init(jax.random.key(0), frames)
+    from colvo.losses import snippet_loss
+
+    disps, poses = model.apply(params, frames)
+    k = jnp.asarray(batch["k"])
+    _, aux = snippet_loss(disps, poses, frames, k, jnp.linalg.inv(k),
+                          cfg.loss, cfg.model)
+    assert "geo/scatter_overflow" in aux
+    assert int(aux["geo/scatter_overflow"]) == 0  # untrained-but-sane warp
