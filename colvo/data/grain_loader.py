@@ -33,6 +33,17 @@ class _SnippetSource(gp.RandomAccessDataSource):
         s = self._ds[int(idx)]
         return {"frames": s.frames, "k": s.k}
 
+    def __repr__(self) -> str:
+        # grain validates resumed iterator state via repr(data_source);
+        # the default object repr embeds the process-local id() and would
+        # reject every cross-process restore. Content-derived identity:
+        first = self._ds[0]
+        return (
+            f"_SnippetSource(n={len(self._ds)}, "
+            f"frames={tuple(first.frames.shape)}, "
+            f"dtype={first.frames.dtype})"
+        )
+
 
 class _AugmentBatch(gp.RandomMapTransform):
     """Per-batch augmentation with grain-provided RNG (deterministic)."""
@@ -84,9 +95,57 @@ def grain_loader(
     )
 
 
+class StatefulGrainIterator:
+    """grain iterator wrapper that keeps a short history of serialized
+    states keyed by batches-yielded count (SURVEY.md §5.3/§5.4).
+
+    The training loop prefetches a couple of batches ahead of the step
+    being checkpointed, so ``it.get_state()`` *at save time* points past
+    the checkpointed step and a restore would silently skip batches.
+    This wrapper records ``get_state()`` after every ``__next__`` so the
+    loop can ask for the state matching exactly N consumed batches
+    (``state_at(N)``) — the resumed stream is then the bitwise
+    continuation (tests/test_checkpoint.py::test_grain_resume_bitwise).
+    """
+
+    _KEEP = 16  # > max prefetch depth; states are tiny JSON blobs
+
+    def __init__(self, it):
+        self._it = it
+        self._count = 0
+        self._states = {0: it.get_state()}
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        batch = next(self._it)
+        self._count += 1
+        self._states[self._count] = self._it.get_state()
+        stale = self._count - self._KEEP
+        if stale in self._states:
+            del self._states[stale]
+        return batch
+
+    @property
+    def count(self) -> int:
+        return self._count
+
+    def state_at(self, n_consumed: int) -> bytes:
+        """Serialized iterator state after exactly ``n_consumed`` batches."""
+        return self._states[n_consumed]
+
+    def set_state(self, state: bytes) -> None:
+        """Restore; the count/history restart at the restored position."""
+        self._it.set_state(state)
+        self._count = 0
+        self._states = {0: self._it.get_state()}
+
+
 def grain_batch_iterator(
     dataset: SnippetDataset, cfg: DataConfig, seed: int = 0,
     num_epochs: Optional[int] = None,
-) -> Iterator[dict]:
-    """Iterator facade matching ``batch_iterator``'s contract."""
-    return iter(grain_loader(dataset, cfg, seed, num_epochs))
+) -> StatefulGrainIterator:
+    """Iterator facade matching ``batch_iterator``'s contract, with
+    checkpointable position (``state_at``/``set_state``)."""
+    return StatefulGrainIterator(iter(grain_loader(dataset, cfg, seed, num_epochs)))

@@ -29,21 +29,50 @@ class CheckpointManager:
         options = ocp.CheckpointManagerOptions(
             max_to_keep=keep, save_interval_steps=save_interval_steps
         )
+        self._dir = directory
         self._mgr = ocp.CheckpointManager(directory, options=options)
 
-    def save(self, step: int, state: TrainState) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state._asdict()))
+    def save(self, step: int, state: TrainState,
+             loader_state: Optional[bytes] = None) -> None:
+        """Save the train state; optionally the input-pipeline iterator
+        state (grain ``get_state()`` bytes) alongside it, so resume
+        continues the batch stream exactly (SURVEY.md §5.3/§5.4)."""
+        import base64
 
-    def restore(self, state_like: TrainState, step: Optional[int] = None) -> Tuple[TrainState, int]:
+        items = {"state": ocp.args.StandardSave(state._asdict())}
+        if loader_state is not None:
+            items["loader"] = ocp.args.JsonSave(
+                {"grain_b64": base64.b64encode(loader_state).decode("ascii")}
+            )
+        self._mgr.save(step, args=ocp.args.Composite(**items))
+
+    def restore(
+        self, state_like: TrainState, step: Optional[int] = None,
+        with_loader_state: bool = False,
+    ):
         """Restore the latest (or given) step into the structure of
-        ``state_like``. Returns (state, step)."""
+        ``state_like``. Returns (state, step), or (state, step,
+        loader_state_bytes_or_None) when ``with_loader_state``."""
+        import base64
+
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError("no checkpoint found")
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_like._asdict())
+        # Item presence from the on-disk layout (directory/<step>/<item>):
+        # older checkpoints have no "loader" item.
+        has_loader = os.path.isdir(os.path.join(self._dir, str(step), "loader"))
+        items = {"state": ocp.args.StandardRestore(state_like._asdict())}
+        if has_loader:
+            items["loader"] = ocp.args.JsonRestore()
+        restored = self._mgr.restore(step, args=ocp.args.Composite(**items))
+        state = TrainState(**restored["state"])
+        if not with_loader_state:
+            return state, step
+        loader = restored.get("loader") if has_loader else None
+        loader_state = (
+            base64.b64decode(loader["grain_b64"]) if loader else None
         )
-        return TrainState(**restored), step
+        return state, step, loader_state
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

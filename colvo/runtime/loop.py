@@ -67,8 +67,11 @@ def train(
         save_interval_steps=cfg.train.ckpt_every_steps,
     )
     start_step = 0
+    restored_loader_state = None
     if resume and ckpt.latest_step() is not None:
-        state, start_step = ckpt.restore(state)
+        state, start_step, restored_loader_state = ckpt.restore(
+            state, with_loader_state=True
+        )
         print(f"resumed from step {start_step}")
 
     # Async logger: the blocking device→host metric fetch runs on a daemon
@@ -101,9 +104,20 @@ def train(
         batches = grain_batch_iterator(dataset, cfg.data, seed=cfg.train.seed)
     else:
         batches = batch_iterator(dataset, cfg.data, seed=cfg.train.seed)
-    # Skip already-consumed batches on resume (grain-style iterator restore).
-    for _ in range(start_step % steps_per_epoch):
-        next(batches)
+    if cfg.data.loader == "grain" and restored_loader_state is not None:
+        # Exact input-pipeline resume: the checkpoint carries the grain
+        # iterator state at the saved step, so the stream continues
+        # bitwise (SURVEY.md §5.3; no skip-ahead approximation).
+        batches.set_state(restored_loader_state)
+    else:
+        # Skip already-consumed batches on resume (position-only
+        # approximation for the non-checkpointable loaders).
+        for _ in range(start_step % steps_per_epoch):
+            next(batches)
+    # Batches already consumed from the grain iterator before step
+    # start_step+1 (0 after set_state; the skip-ahead count otherwise) —
+    # offsets state_at keys at checkpoint time.
+    grain_base = batches.count if cfg.data.loader == "grain" else 0
 
     if cfg.data.loader == "device":
         stream = batches  # already device-resident and sharded
@@ -181,12 +195,23 @@ def train(
             # a synchronous full-state fetch costs ~state_bytes/link_bw on
             # the training loop otherwise.
             snap = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, state)
+            # Grain path: capture the iterator state matching exactly this
+            # step's consumed-batch count NOW (the prefetcher has already
+            # pulled ahead; state_at undoes that) — resume continues the
+            # stream bitwise.
+            lstate = (
+                batches.state_at(grain_base + step - start_step)
+                if cfg.data.loader == "grain"
+                else None
+            )
             if ckpt_pool is not None:
                 ckpt_pool.submit(
-                    lambda st=snap, sp=step: ckpt.save(sp, jax.tree.map(np.asarray, st))
+                    lambda st=snap, sp=step, ls=lstate: ckpt.save(
+                        sp, jax.tree.map(np.asarray, st), loader_state=ls
+                    )
                 )
             else:
-                ckpt.save(step, jax.tree.map(np.asarray, snap))
+                ckpt.save(step, jax.tree.map(np.asarray, snap), loader_state=lstate)
 
         if eval_hook is not None and step % eval_every == 0:
             # Hook contract: (step, state, writer) → optional scalar dict,

@@ -106,6 +106,49 @@ def test_kill_and_resume_bitwise(tmp_path, model_state):
     mgr.close()
 
 
+def test_grain_resume_bitwise(tmp_path, model_state):
+    """Kill-and-resume of the INPUT PIPELINE (SURVEY.md §5.3, VERDICT r2
+    next #7): the checkpoint carries the grain iterator state at the saved
+    step — even though the loop prefetches ahead — and the resumed stream
+    is the bitwise continuation (no skip-ahead approximation)."""
+    pytest.importorskip("grain.python")
+    from colvo.data import SnippetDataset, render_sequence
+    from colvo.data.grain_loader import grain_batch_iterator
+
+    cfg, model, state = model_state
+    seq = render_sequence(n_frames=16, height=64, width=64, seed=3)
+    ds = SnippetDataset([seq.frames], [seq.k], cfg.data.frame_offsets)
+
+    it = grain_batch_iterator(ds, cfg.data, seed=0, num_epochs=4)
+    consumed = [next(it) for _ in range(6)]  # steps 1..4 + 2 prefetched
+    # Checkpoint "at step 4" while the prefetcher has pulled 2 ahead:
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(4, jax.tree.map(np.asarray, state), loader_state=it.state_at(4))
+    mgr.wait()
+    # the true continuation after step 4 = batches 5, 6, 7
+    future = consumed[4:] + [next(it)]
+
+    # "crash" → fresh process: new iterator + restore
+    _, fresh = init_state(cfg, jax.random.key(0))
+    it2 = grain_batch_iterator(ds, cfg.data, seed=0, num_epochs=4)
+    _, step, loader_state = mgr.restore(fresh, with_loader_state=True)
+    assert step == 4 and loader_state is not None
+    it2.set_state(loader_state)
+    for want in future:
+        got = next(it2)
+        np.testing.assert_array_equal(
+            np.asarray(want["frames"]), np.asarray(got["frames"])
+        )
+    # old-style checkpoints (no loader item) still restore
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt2"))
+    mgr2.save(1, jax.tree.map(np.asarray, state))
+    mgr2.wait()
+    _, step, ls = mgr2.restore(fresh, with_loader_state=True)
+    assert step == 1 and ls is None
+    mgr.close()
+    mgr2.close()
+
+
 def test_export_load_params_roundtrip(tmp_path, model_state):
     _, _, state = model_state
     path = str(tmp_path / "weights.npz")
