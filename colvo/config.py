@@ -71,7 +71,9 @@ class LossConfig:
     smoothness_weight: float = 1e-3
     geometric_weight: float = 0.1  # DCDP cross-frame consistency (L5)
     lcc: bool = True  # light-consistent calibration (L1, README.md:7)
-    lcc_mode: str = "affine"  # affine | gain | off
+    lcc_mode: str = "affine"  # affine | gain | off | global |
+    #   global+affine | global+gain — global* modes prepend a per-frame
+    #   global affine (auto-exposure prior; losses/photometric.py)
     lcc_window: int = 15  # low-frequency local window for the gain field
     fused_kernel: bool = False  # K1: warp+LCC+SSIM+L1 as ONE Pallas kernel
     #   on TPU (colvo.kernels.fused_loss — no materialized warped frames);
@@ -89,6 +91,19 @@ class LossConfig:
     #   never launch-bound. Kept as a documented negative result.
     automask: bool = True  # identity-reprojection automasking (L3)
     min_reprojection: bool = True  # per-pixel min over source frames (L3)
+    photo_native: bool = False  # evaluate the photometric term at each
+    #   scale's NATIVE grid (SfMLearner protocol: downsampled frames,
+    #   scale-local projection) instead of the Monodepth2 upsample-to-
+    #   full-res protocol. Cuts the warp+LCC+SSIM byte traffic ~3×
+    #   (1 + 1/4 + 1/16 + 1/64 vs 4 full-res evaluations) — the step is
+    #   bandwidth-bound (VERDICT r2 next #1). Off by default pending the
+    #   quality A/B (full-res exists to avoid texture-copy artifacts).
+    photo_remat: bool = False  # recompute the LCC/SSIM window statistics
+    #   in the backward pass (jax.checkpoint around the stats pipeline)
+    #   instead of materializing ~a dozen full-res stat planes for the
+    #   VJP. Trades VPU recompute (free at 8.5% MFU) for HBM bytes. The
+    #   warp itself stays OUTSIDE the remat scope so the Pallas sampler
+    #   never re-runs. Off by default pending on-chip measurement.
     # Geometric-consistency evaluation protocol (L5). Defaults are the
     # TPU-fast path; flip both for the family's full-res/full-grad protocol
     # (kept as the semantics contract and exercised in tests).

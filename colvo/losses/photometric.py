@@ -138,10 +138,45 @@ def lcc_calibrate(
     loss through brightness. Gain/contrast is clipped to ``clip`` so gross
     misalignments (bad pose) cannot be "calibrated away" — LCC corrects
     illumination, not geometry.
+
+    ``global*`` modes prepend a PER-FRAME global affine: auto-exposure is
+    a global nuisance (one gain per frame), and a 15 px window is the
+    wrong prior for it — smooth colon surfaces give near-zero local
+    variance, so the windowed contrast estimate is noise that the clip
+    then freezes at the rail (measured: Abs-Rel 0.360 with windowed LCC
+    vs 0.065 clean under U(0.65, 1.35) jitter — VERDICT r2 next #5).
+    The global coefficients pool the whole frame per channel and get a
+    WIDER clip (0.25, 4): a single scalar per frame cannot absorb
+    spatial (geometric) error, so the anti-gaming rationale for the
+    tight windowed clip does not apply to it.
+
+    * ``global``:        per-frame global affine only
+    * ``global+affine``: global affine, then windowed affine (residual
+                         low-frequency falloff)
+    * ``global+gain``:   global affine, then windowed gain
     """
     if mode == "off":
         return warped
     eps = 1e-4
+    if mode.startswith("global"):
+        gmu_w = jnp.mean(warped, axis=(1, 2), keepdims=True)
+        gmu_t = jnp.mean(target, axis=(1, 2), keepdims=True)
+        gvar = jnp.mean(warped * warped, axis=(1, 2), keepdims=True) - gmu_w**2
+        gcov = (
+            jnp.mean(warped * target, axis=(1, 2), keepdims=True)
+            - gmu_w * gmu_t
+        )
+        # tighter regularizer than the windowed eps: the global moments
+        # pool the whole frame, so even a low-contrast frame's variance
+        # dwarfs 1e-7 and the estimated gain is not biased low the way
+        # a variance-starved 15 px window's is
+        ga = jnp.clip(gcov / (gvar + 1e-7), 0.25, 4.0)
+        gb = gmu_t - ga * gmu_w
+        warped = jax.lax.stop_gradient(ga) * warped + jax.lax.stop_gradient(gb)
+        rest = mode[len("global"):].lstrip("+")
+        if not rest:
+            return warped
+        mode = rest
     mu_w = _avg_pool_same(warped, window)
     mu_t = _avg_pool_same(target, window)
     if mode == "gain":

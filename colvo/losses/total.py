@@ -113,6 +113,16 @@ def snippet_loss(
             "protocol (geo_full_res=False); the full-res path would "
             "silently fall back to 'both' semantics"
         )
+    if loss_cfg.photo_native and loss_cfg.geo_full_res:
+        raise ValueError(
+            "loss.photo_native (scale-native photometric) contradicts "
+            "loss.geo_full_res (full-res geometry) — pick one protocol"
+        )
+    if loss_cfg.photo_native and loss_cfg.batched_photo:
+        raise ValueError(
+            "loss.batched_photo stacks shape-identical full-res "
+            "evaluations; incompatible with loss.photo_native"
+        )
     chex.assert_rank(frames, 5)
     chex.assert_rank(poses, 3)
     chex.assert_axis_dimension(poses, -1, 6)
@@ -125,15 +135,39 @@ def snippet_loss(
 
     t_mats = poses_to_transforms(poses, ())  # (B, S, 4, 4)
 
-    # Identity (unwarped) errors for automasking — scale-independent.
+    # Frame pyramids for the scale-native protocol (photo_native): the
+    # photometric comparison at scale s uses 2^s-mean-pooled frames, so
+    # warp + LCC + SSIM bytes shrink 4× per scale (the step is
+    # bandwidth-bound; VERDICT r2 next #1). pyr[0] is the full-res frame.
+    if loss_cfg.photo_native:
+        tgt_pyr = [tgt_clean]
+        src_pyr = [[frames_clean[:, s + 1] for s in range(n_sources)]]
+        for _ in range(model_cfg.n_scales - 1):
+            tgt_pyr.append(_halve(tgt_pyr[-1]))
+            src_pyr.append([_halve(x) for x in src_pyr[-1]])
+
+    # Identity (unwarped) errors for automasking — scale-independent under
+    # the full-res protocol; per-scale pyramid errors under photo_native.
     if loss_cfg.automask:
-        identity_errors = jnp.stack(
-            [
-                photometric_error(frames_clean[:, s + 1], tgt_clean, loss_cfg.ssim_alpha)
-                for s in range(n_sources)
-            ],
-            axis=-1,
-        )
+        if loss_cfg.photo_native:
+            identity_pyr = [
+                jnp.stack(
+                    [
+                        photometric_error(src_pyr[sc][s], tgt_pyr[sc], loss_cfg.ssim_alpha)
+                        for s in range(n_sources)
+                    ],
+                    axis=-1,
+                )
+                for sc in range(model_cfg.n_scales)
+            ]
+        else:
+            identity_errors = jnp.stack(
+                [
+                    photometric_error(frames_clean[:, s + 1], tgt_clean, loss_cfg.ssim_alpha)
+                    for s in range(n_sources)
+                ],
+                axis=-1,
+            )
 
     n_scales = model_cfg.n_scales
     total = 0.0
@@ -149,20 +183,36 @@ def snippet_loss(
     )
 
     # -------- projection pass: per-scale geometry (cheap matmul/elementwise)
-    pix_all: List[List[jnp.ndarray]] = []  # [scale][source] (B, H, W, 2)
+    # Under photo_native the projection lives on each scale's own grid
+    # (scale-local disparity, rescaled K); depth_all keeps the per-scale
+    # target depth so the geometric-consistency path reuses this exact
+    # projection instead of recomputing it.
+    pix_all: List[List[jnp.ndarray]] = []  # [scale][source] (B, h_s, w_s, 2)
     z_all: List[List[jnp.ndarray]] = []
+    depth_all: List[jnp.ndarray] = []
     for scale in range(n_scales):
-        disp_full = _upsample_to(disps[0][scale], height, width)
-        _, depth = disp_to_depth(
-            disp_full[..., 0], model_cfg.min_depth, model_cfg.max_depth
-        )
+        if loss_cfg.photo_native:
+            disp_n = disps[0][scale]
+            h_s, w_s = disp_n.shape[1], disp_n.shape[2]
+            k_s = _scale_k(k, w_s / width, h_s / height)
+            _, depth = disp_to_depth(
+                disp_n[..., 0], model_cfg.min_depth, model_cfg.max_depth
+            )
+            cam_points = backproject(depth, jnp.linalg.inv(k_s))
+        else:
+            disp_full = _upsample_to(disps[0][scale], height, width)
+            k_s = k
+            _, depth = disp_to_depth(
+                disp_full[..., 0], model_cfg.min_depth, model_cfg.max_depth
+            )
+            cam_points = backproject(depth, k_inv)  # (B, H, W, 3)
         if scale == 0:
             full_depth = depth
-        cam_points = backproject(depth, k_inv)  # (B, H, W, 3)
+        depth_all.append(depth)
         pix_all.append([])
         z_all.append([])
         for s in range(n_sources):
-            pix, z = project(cam_points, k, t_mats[:, s])
+            pix, z = project(cam_points, k_s, t_mats[:, s])
             pix_all[scale].append(pix)
             z_all[scale].append(z)
 
@@ -174,6 +224,19 @@ def snippet_loss(
     # per-pair loop (asserted in tests/test_losses.py).
     err_lookup: Dict[Tuple[int, int], jnp.ndarray] = {}
 
+    def _stats_err(warped, tgt_f):
+        if lcc_mode != "off":
+            warped = lcc_calibrate(warped, tgt_f, lcc_mode, loss_cfg.lcc_window)
+        return photometric_error(warped, tgt_f, loss_cfg.ssim_alpha)
+
+    # photo_remat: the stats pipeline (LCC window stats + SSIM moments)
+    # saves ~a dozen full-res planes for its VJP; rematerializing it
+    # trades that HBM traffic for VPU recompute. The warp stays OUTSIDE
+    # the scope — `warped` is this function's input — so the Pallas
+    # sampler never re-runs in the backward pass.
+    if loss_cfg.photo_remat:
+        _stats_err = jax.checkpoint(_stats_err)
+
     def photometric_of(src_f, tgt_f, pix_f):
         if loss_cfg.fused_kernel:
             # K1: one Pallas kernel for warp+LCC+SSIM+L1 on TPU — no
@@ -184,9 +247,7 @@ def snippet_loss(
                 lcc_mode, loss_cfg.lcc_window, loss_cfg.ssim_alpha,
             )
         warped = bilinear_sample_fast(src_f, pix_f)
-        if lcc_mode != "off":
-            warped = lcc_calibrate(warped, tgt_f, lcc_mode, loss_cfg.lcc_window)
-        return photometric_error(warped, tgt_f, loss_cfg.ssim_alpha)
+        return _stats_err(warped, tgt_f)
 
     if loss_cfg.batched_photo:
         # (n_scales*S*B, H, W, …) stacks; sources vary fastest, matching
@@ -214,10 +275,15 @@ def snippet_loss(
         for s in range(n_sources):
             t_mat = t_mats[:, s]
             pix, z = pix_all[scale][s], z_all[scale][s]
-            valid = _valid_mask(pix, height, width) * (z > 0)
+            # Photometric grid for this scale: full-res under the default
+            # protocol, the scale's own grid under photo_native.
+            ph, pw = pix.shape[1], pix.shape[2]
+            valid = _valid_mask(pix, ph, pw) * (z > 0)
 
             if loss_cfg.batched_photo:
                 err = err_lookup[(scale, s)]
+            elif loss_cfg.photo_native:
+                err = photometric_of(src_pyr[scale][s], tgt_pyr[scale], pix)
             else:
                 err = photometric_of(frames_clean[:, s + 1], tgt_clean, pix)
 
@@ -244,24 +310,38 @@ def snippet_loss(
                     # in the train step (measured 216 of 299 ms at B=12
                     # 256×320, serial-chain protocol), and the consistency
                     # field it constrains is low-frequency.
-                    g_disp_t = disp_s
-                    g_disp_s = disps[s + 1][scale]
-                    if loss_cfg.geo_res_cap > 0:
-                        while g_disp_t.shape[1] > loss_cfg.geo_res_cap:
-                            g_disp_t = _halve(g_disp_t)
-                            g_disp_s = _halve(g_disp_s)
-                    h_g, w_g = g_disp_t.shape[1], g_disp_t.shape[2]
-                    k_g = _scale_k(k, w_g / width, h_g / height)
-                    _, depth_g = disp_to_depth(
-                        g_disp_t[..., 0], model_cfg.min_depth, model_cfg.max_depth
-                    )
-                    _, src_depth_g = disp_to_depth(
-                        g_disp_s[..., 0],
-                        model_cfg.min_depth,
-                        model_cfg.max_depth,
-                    )
-                    pts_g = backproject(depth_g, jnp.linalg.inv(k_g))
-                    pix_g, z_g = project(pts_g, k_g, t_mat)
+                    if loss_cfg.photo_native and loss_cfg.geo_res_cap == 0:
+                        # photo_native already projected on this exact
+                        # grid (same disp, same rescaled K): reuse the
+                        # projection pass instead of recomputing it.
+                        h_g, w_g = ph, pw
+                        k_g = _scale_k(k, w_g / width, h_g / height)
+                        depth_g = depth_all[scale]
+                        _, src_depth_g = disp_to_depth(
+                            disps[s + 1][scale][..., 0],
+                            model_cfg.min_depth,
+                            model_cfg.max_depth,
+                        )
+                        pix_g, z_g = pix, z
+                    else:
+                        g_disp_t = disp_s
+                        g_disp_s = disps[s + 1][scale]
+                        if loss_cfg.geo_res_cap > 0:
+                            while g_disp_t.shape[1] > loss_cfg.geo_res_cap:
+                                g_disp_t = _halve(g_disp_t)
+                                g_disp_s = _halve(g_disp_s)
+                        h_g, w_g = g_disp_t.shape[1], g_disp_t.shape[2]
+                        k_g = _scale_k(k, w_g / width, h_g / height)
+                        _, depth_g = disp_to_depth(
+                            g_disp_t[..., 0], model_cfg.min_depth, model_cfg.max_depth
+                        )
+                        _, src_depth_g = disp_to_depth(
+                            g_disp_s[..., 0],
+                            model_cfg.min_depth,
+                            model_cfg.max_depth,
+                        )
+                        pts_g = backproject(depth_g, jnp.linalg.inv(k_g))
+                        pix_g, z_g = project(pts_g, k_g, t_mat)
                 if loss_cfg.geo_grad == "sym" and not loss_cfg.geo_full_res:
                     # Symmetric stop-gradient protocol: evaluate the
                     # constraint in BOTH warp directions, each sampling the
@@ -329,8 +409,11 @@ def snippet_loss(
                 )
                 if g_loss_r is not None:
                     g_loss = 0.5 * (g_loss + g_loss_r)
-                if not loss_cfg.geo_full_res and height // h_g > 1:
-                    up = height // h_g
+                # Upsample the geo weight/validity to the PHOTOMETRIC grid
+                # of this scale (full-res by default; the scale's native
+                # grid under photo_native, where ph == h_g and this no-ops).
+                if not loss_cfg.geo_full_res and ph // h_g > 1:
+                    up = ph // h_g
                     g_weight = upsample_nearest(g_weight[..., None], up)[..., 0]
                     gvalid = upsample_nearest(gvalid[..., None], up)[..., 0]
                 geo_losses.append(g_loss)
@@ -340,9 +423,10 @@ def snippet_loss(
                 err = err * g_weight + err * (1.0 - gvalid * valid)
             warped_errors.append(err)
 
-        errors = jnp.stack(warped_errors, axis=-1)  # (B, H, W, S)
+        errors = jnp.stack(warped_errors, axis=-1)  # (B, h_s, w_s, S)
         if loss_cfg.automask:
-            min_err, mask = automask_fn(errors, identity_errors)
+            ident = identity_pyr[scale] if loss_cfg.photo_native else identity_errors
+            min_err, mask = automask_fn(errors, ident)
             photo = jnp.sum(min_err * mask) / (jnp.sum(mask) + 1e-7)
         elif loss_cfg.min_reprojection:
             photo = jnp.mean(jnp.min(errors, axis=-1))

@@ -103,6 +103,56 @@ def test_lcc_gain_mode():
     assert float(jnp.mean(jnp.abs(cal - tgt))) < float(jnp.mean(jnp.abs(bright - tgt)))
 
 
+def test_lcc_global_mode_exact_on_exposure():
+    """Per-frame auto-exposure (one global affine per frame) is removed
+    EXACTLY by the global mode — including on low-texture frames where
+    the 15 px windowed estimate is variance-starved noise (VERDICT r2
+    next #5)."""
+    # nearly-flat frame: local variance ~1e-4, global structure only
+    yy = np.linspace(0.4, 0.6, 48, dtype=np.float32)[None, :, None, None]
+    tgt = jnp.asarray(
+        yy + 0.01 * RNG.random((1, 48, 64, 3)).astype(np.float32)
+    )
+    exposed = jnp.clip(tgt * 1.9 + 0.03, 0.0, 2.0)  # within global clip
+
+    raw = float(jnp.mean(photometric_error(exposed, tgt)))
+    cal = float(
+        jnp.mean(photometric_error(lcc_calibrate(exposed, tgt, "global"), tgt))
+    )
+    assert abs(cal) < 1e-5, cal  # exact removal
+    # composite modes: the windowed second stage re-adds a little
+    # variance-starved-window noise on low-texture frames, but the
+    # exposure itself must stay >100x absorbed
+    for mode in ["global+affine", "global+gain"]:
+        cal = float(
+            jnp.mean(photometric_error(lcc_calibrate(exposed, tgt, mode), tgt))
+        )
+        assert cal < 1e-3 and raw > 100 * cal, (mode, raw, cal)
+
+
+def test_lcc_global_does_not_fix_geometry():
+    """One scalar gain per frame cannot absorb spatial misalignment."""
+    tgt = rand_img(1, 48, 64)
+    shifted = jnp.roll(tgt, 7, axis=2)
+    for mode in ["global", "global+affine"]:
+        cal_err = float(
+            jnp.mean(photometric_error(lcc_calibrate(shifted, tgt, mode), tgt))
+        )
+        assert cal_err > 10 * 1e-4, (mode, cal_err)
+
+
+def test_lcc_global_coeffs_are_stop_gradiented():
+    tgt = rand_img(1, 16, 16)
+
+    def f(src):
+        return jnp.sum(
+            photometric_error(lcc_calibrate(src, tgt, "global+affine"), tgt)
+        )
+
+    g = jax.grad(f)(tgt * 1.2)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_lcc_coeffs_are_stop_gradiented():
     tgt = rand_img(1, 16, 16)
 
@@ -320,3 +370,74 @@ def test_batched_photo_equals_per_pair_loop():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-7
             )
+
+
+@pytest.mark.slow
+def test_photo_remat_is_exact():
+    """loss.photo_remat wraps the LCC/SSIM stats pipeline in
+    jax.checkpoint — a pure rematerialization that must not change the
+    loss value or any parameter gradient (only the HBM residuals saved
+    for the VJP)."""
+    model, params, frames, k, mcfg = _setup_snippet()
+
+    def loss_fn(p, lcfg):
+        disps, poses = model.apply(p, frames)
+        loss, _ = snippet_loss(
+            disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg
+        )
+        return loss
+
+    l_r, g_r = jax.value_and_grad(
+        lambda p: loss_fn(p, LossConfig(photo_remat=True))
+    )(params)
+    l_d, g_d = jax.value_and_grad(lambda p: loss_fn(p, LossConfig()))(params)
+    np.testing.assert_allclose(float(l_r), float(l_d), rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_d)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-7
+        )
+
+
+@pytest.mark.slow
+def test_photo_native_finite_and_grads_flow():
+    """The scale-native photometric protocol (SfMLearner-style: pyramid
+    frames, scale-local projection) — a different objective from the
+    full-res default, so the contract is finiteness + full grad flow,
+    not equivalence. Covers the geo-consistency projection-reuse branch
+    (geo_res_cap=0 default) and the composed photo_native+photo_remat
+    byte-diet config."""
+    model, params, frames, k, mcfg = _setup_snippet()
+
+    def loss_fn(p, lcfg):
+        disps, poses = model.apply(p, frames)
+        loss, aux = snippet_loss(
+            disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg
+        )
+        return loss, aux
+
+    for lcfg in [
+        LossConfig(photo_native=True),
+        LossConfig(photo_native=True, photo_remat=True),
+        LossConfig(photo_native=True, geo_res_cap=64),  # recompute branch
+        LossConfig(photo_native=True, automask=False),
+    ]:
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, lcfg), has_aux=True
+        )(params)
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        assert np.isfinite(float(aux["loss/geometric"]))
+        assert float(aux["loss/geometric"]) > 0
+        leaves = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+        assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+
+
+def test_photo_native_config_conflicts_raise():
+    model, params, frames, k, mcfg = _setup_snippet()
+    disps, poses = model.apply(params, frames)
+    for lcfg in [
+        LossConfig(photo_native=True, geo_full_res=True),
+        LossConfig(photo_native=True, batched_photo=True),
+    ]:
+        with pytest.raises(ValueError):
+            snippet_loss(disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg)
