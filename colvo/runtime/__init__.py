@@ -8,6 +8,7 @@ from colvo.runtime.train_step import (
     make_scan_train,
 )
 from colvo.runtime.mesh import (
+    cross_process_barrier,
     make_mesh,
     maybe_init_distributed,
     batch_sharding,
@@ -32,6 +33,7 @@ __all__ = [
     "make_optimizer",
     "make_train_step",
     "make_scan_train",
+    "cross_process_barrier",
     "make_mesh",
     "maybe_init_distributed",
     "batch_sharding",

@@ -68,6 +68,30 @@ def maybe_init_distributed() -> bool:
     return jax.process_count() > 1
 
 
+def cross_process_barrier(name: str, timeout_s: float = 600.0) -> bool:
+    """Block until every process reaches this barrier (no-op single-host).
+
+    Rides the coordination service (the same TCP channel
+    ``jax.distributed.initialize`` rendezvoused on), NOT the collective
+    transport — so it works before any collective has run and its timeout
+    is ours to choose. Use it to line processes up immediately before the
+    FIRST executed collective: Gloo/DCN context creation has a fixed ~30 s
+    connect deadline measured from when the first process arrives, which
+    slow or unevenly-loaded hosts miss when their compile phases drift
+    apart (SURVEY.md §5.8; the 2-process smoke test on a 1-core host).
+    Compile ahead (``jit(...).lower(...).compile()`` executes nothing),
+    barrier here, then execute. Returns True when a barrier was actually
+    performed.
+    """
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None or jax.process_count() <= 1:
+        return False
+    client.wait_at_barrier(name, int(timeout_s * 1000))
+    return True
+
+
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     """1-D data-parallel mesh over the slice's chips (ICI-connected)."""
     cfg = cfg or MeshConfig()

@@ -91,27 +91,25 @@ def main():
 
     gbatch = jax.tree.map(place, batch)
 
-    # Warm-up barrier: the first executed cross-process collective
-    # initializes the Gloo context with a fixed ~30 s connect deadline,
-    # while the two 1-core workers can be minutes apart in compile
-    # progress. Retry a trivial global sum over the (process-sharded)
-    # frames — XLA must all-reduce it, so success means both sides are
-    # connected and the real step never trips the deadline. A genuine
-    # connectivity bug still fails (retry cap).
-    import time as _time
+    # The first executed cross-process collective creates the Gloo
+    # context under a fixed ~30 s connect deadline measured from when the
+    # FIRST process arrives — but two 1-core workers can be minutes apart
+    # in compile progress. So: compile everything ahead (lower+compile
+    # executes nothing → no Gloo), line both processes up on the
+    # coordination-service barrier (its timeout is ours to choose), and
+    # only then execute. Arrival skew at the collective is then
+    # milliseconds, not compile-minutes.
+    warm = jax.jit(lambda f: f.sum())
+    warm_exe = warm.lower(gbatch["frames"]).compile()
+    step_exe = step_fn.lower(state, gbatch).compile()
 
-    for attempt in range(10):
-        try:
-            float(np.asarray(jax.device_get(
-                jax.jit(lambda f: f.sum())(gbatch["frames"])
-            )))
-            break
-        except Exception:  # Gloo ctx init deadline — peer not up yet
-            if attempt == 9:
-                raise
-            _time.sleep(10)
+    from colvo.runtime import cross_process_barrier
 
-    state, metrics = step_fn(state, gbatch)
+    assert cross_process_barrier("smoke-pre-collective", timeout_s=480.0)
+
+    float(np.asarray(jax.device_get(warm_exe(gbatch["frames"]))))
+
+    state, metrics = step_exe(state, gbatch)
     loss = float(np.asarray(jax.device_get(metrics["loss/total"])))
     assert np.isfinite(loss), loss
     print(f"MULTIHOST_OK loss={loss:.6f}", flush=True)
