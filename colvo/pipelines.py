@@ -111,8 +111,21 @@ def make_training_eval_hook(cfg: ColvoConfig, model):
     @jax.jit
     def _eval_fwd(params):
         # depth over the whole held-out sequence (batched)
-        disps, _ = model.apply(params, eval_frames, method=model.depth)
+        disps, bnecks = model.apply(params, eval_frames, method=model.depth)
         pred_disp = disps[0][..., 0]
+        # cheap pose probe (VERDICT r2 next #6): PoseNet over all
+        # consecutive pairs in ONE batched call — same (prev, cur) + DCDP
+        # carry convention as the streaming executor (vo/stream.py
+        # chunk_fn), no executor recompile. Chaining + Umeyama happen on
+        # host in the hook.
+        feats = (
+            [bnecks[:-1], bnecks[1:]] if cfg.model.dcdp_fusion else None
+        )
+        aa, tr = model.apply(
+            params, eval_frames[:-1], eval_frames[1:], feats,
+            method=model.pose,
+        )
+        rel6 = jnp.concatenate([aa, tr], axis=-1).astype(jnp.float32)
         _, pred_depth = disp_to_depth(
             pred_disp, cfg.model.min_depth, cfg.model.max_depth
         )
@@ -139,20 +152,25 @@ def make_training_eval_hook(cfg: ColvoConfig, model):
                 warp_err_panel = err[0]
         errs, ids = jnp.stack(errs, -1), jnp.stack(ids, -1)
         automask = (jnp.min(errs, -1) < jnp.min(ids, -1)).astype(jnp.float32)
-        return pred_depth, disp0[0], automask[0], warp_err_panel
+        return pred_depth, disp0[0], automask[0], warp_err_panel, rel6
 
     def hook(step, state, writer):
-        pred_depth, disp0, automask, warp_err = jax.tree.map(
+        from colvo.evaluation.pose import evaluate_pose
+        from colvo.vo.driver import chain_relative_poses
+
+        pred_depth, disp0, automask, warp_err, rel6 = jax.tree.map(
             np.asarray, _eval_fwd(state.params)
         )
         metrics = compute_depth_errors(
             seq.depths, pred_depth, max_depth=cfg.eval.depth_cap,
             median_scaling=cfg.eval.median_scaling,
         )
-        # cheap pose probe: frame-to-frame VO over the eval sequence would
-        # recompile the streaming executor; ATE from depth-scale drift is
-        # already captured at eval time by the full pipeline, so the hook
-        # reports depth metrics + panels only (ATE stays in evaluate_*).
+        # trajectory quality during training — the reference's headline
+        # metric (README.md:21) was previously invisible until post-hoc
+        # eval (VERDICT r2 weak #4): chain the probe's relative poses and
+        # score ATE/RPE against the held-out sequence's GT.
+        pred_poses = chain_relative_poses(rel6)
+        metrics.update(evaluate_pose(pred_poses, seq.poses))
         if writer is not None:
             writer.log_image(step, "panels/disp", colormap_depth(disp0))
             writer.log_image(step, "panels/automask",

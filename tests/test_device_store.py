@@ -179,6 +179,12 @@ def test_train_loop_with_device_loader(seq, tmp_path):
 
     rows = [json.loads(l) for l in (tmp_path / "runs" / "metrics.jsonl").open()]
     assert any(k.startswith("eval/") for r in rows for k in r), rows
+    # pose probe (VERDICT r2 next #6): trajectory quality must be visible
+    # DURING training, not only at post-hoc eval
+    eval_keys = {k for r in rows for k in r if k.startswith("eval/")}
+    assert {"eval/ate", "eval/rpe_trans", "eval/rpe_rot_deg"} <= eval_keys, (
+        eval_keys
+    )
     panels = list((tmp_path / "runs").glob("panels_*.png"))
     assert {p.name.rsplit("_", 1)[0] for p in panels} == {
         "panels_disp", "panels_automask", "panels_warp_error"
