@@ -30,7 +30,7 @@ import numpy as np
 
 def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
              geo_cap: int = None, geo_w: float = None, name: str = None,
-             exp_jitter: float = 0.0):
+             exp_jitter: float = 0.0, seed: int = 42):
     import jax
     from colvo.config import ColvoConfig
     from colvo.data import SnippetDataset, render_sequence
@@ -38,7 +38,12 @@ def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
     from colvo.runtime import export_params, train as train_loop
 
     name = name or f"dcdp{int(dcdp)}_lcc{int(lcc)}"
-    out_dir = os.path.join(out_root, name)
+    # seed 42 keeps the round-2 cell names (resume compatibility); extra
+    # seeds get suffixed dirs. Only the TRAINING seed varies (init +
+    # shuffle); corpus and held-out eval sequence stay fixed so the
+    # spread measures training stochasticity, not benchmark resampling.
+    cell_dir = name if seed == 42 else f"{name}_s{seed}"
+    out_dir = os.path.join(out_root, cell_dir)
     done_path = os.path.join(out_dir, "result.json")
     if os.path.exists(done_path):  # resume: skip completed cells
         with open(done_path) as f:
@@ -46,6 +51,7 @@ def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
         print(json.dumps(rec), flush=True)
         return rec
     cfg = ColvoConfig()
+    cfg.train.seed = seed
     cfg.model.dcdp_fusion = dcdp
     cfg.loss.lcc = lcc
     if geo_cap is not None:
@@ -79,12 +85,22 @@ def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
     metrics = evaluate_synthetic(cfg, weights=weights,
                                  out_dir=os.path.join(out_dir, "eval"),
                                  exposure_jitter=exp_jitter)
-    rec = {"cell": name, "dcdp": dcdp, "lcc": lcc, "steps": steps,
-           "train_s": round(train_s), **{k: round(v, 4) for k, v in metrics.items()}}
+    rec = {"cell": name, "seed": seed, "dcdp": dcdp, "lcc": lcc,
+           "steps": steps, "train_s": round(train_s),
+           **{k: round(v, 4) for k, v in metrics.items()}}
     with open(done_path, "w") as f:
         json.dump(rec, f)
     print(json.dumps(rec), flush=True)
     return rec
+
+
+# A cell whose rotation drift exceeds this never converged to a usable
+# VO solution — its other metrics describe a diverged model and must not
+# be read as converged numbers (VERDICT r2 weak #3: the geow0 cell's
+# 166.8 deg/frame sat unflagged next to converged rows).
+DIVERGED_RPE_ROT_DEG = 30.0
+
+SEEDS = (42, 7, 1234)  # >=3 seeds per statistical cell (VERDICT r2 next #3)
 
 
 def main():
@@ -92,39 +108,60 @@ def main():
     out_root = sys.argv[2] if len(sys.argv) > 2 else "runs/ablate"
     os.makedirs(out_root, exist_ok=True)
     recs = []
-    # 2x2 DCDP/LCC grid (reference claims, README.md:5-7), trained under
-    # the production default (uncapped native-scale geo protocol — the
-    # 4000-step A/B in runs/ablate/ABLATION.md flipped the default) ...
-    for dcdp, lcc in [(True, True), (True, False), (False, True), (False, False)]:
-        recs.append(run_cell(dcdp, lcc, steps, out_root))
-    # ... + the geo-cap A/B under the longer schedule (capped arm; the
-    # uncapped arm IS the dcdp1_lcc1 cell above) ...
+    # 2x2 DCDP/LCC grid (reference claims, README.md:5-7) x 3 seeds,
+    # trained under the production default (uncapped native-scale geo
+    # protocol — the 4000-step A/B in round 2 flipped the default) ...
+    for seed in SEEDS:
+        for dcdp, lcc in [(True, True), (True, False), (False, True), (False, False)]:
+            recs.append(run_cell(dcdp, lcc, steps, out_root, seed=seed))
+    # ... + LCC in its intended regime: per-frame auto-exposure gain
+    # (U(0.65, 1.35), train AND eval), also x 3 seeds. The plain grid's
+    # headlight falloff is geometrically consistent between frames, so
+    # LCC has nothing to absorb there; this pair tests the reference's
+    # actual claim ("accounts for brightness variations", README.md:6-7).
+    for seed in SEEDS:
+        for lcc in (True, False):
+            recs.append(run_cell(True, lcc, steps, out_root, exp_jitter=0.35,
+                                 name=f"expjit_dcdp1_lcc{int(lcc)}",
+                                 seed=seed))
+    # ... + the single-seed protocol arms: geo-cap A/B (capped arm; the
+    # uncapped arm IS dcdp1_lcc1) and DCDP's loss-level coupling ablated.
     recs.append(run_cell(True, True, steps, out_root, geo_cap=64,
                          name="dcdp1_lcc1_geocap64"))
-    # ... + DCDP's loss-level coupling ablated (geometric weight 0; the
-    # model-level coupling is the dcdp flag in the grid) ...
     recs.append(run_cell(True, True, steps, out_root, geo_w=0.0,
                          name="dcdp1_lcc1_geow0"))
-    # ... + LCC in its intended regime: per-frame auto-exposure gain
-    # (U(0.65, 1.35), train AND eval). The plain grid's headlight falloff
-    # is geometrically consistent between frames, so LCC has nothing to
-    # absorb there; this pair tests the reference's actual claim
-    # ("accounts for brightness variations", README.md:6-7).
-    for lcc in (True, False):
-        recs.append(run_cell(True, lcc, steps, out_root, exp_jitter=0.35,
-                             name=f"expjit_dcdp1_lcc{int(lcc)}"))
 
-    keys = [k for k in recs[0] if k not in ("cell", "dcdp", "lcc", "steps", "train_s")]
+    keys = [k for k in recs[0] if k not in ("cell", "seed", "dcdp", "lcc",
+                                            "steps", "train_s")]
+    # aggregate across seeds: mean +/- std per cell, diverged seeds
+    # flagged and EXCLUDED from the converged statistics (reported
+    # separately — averaging a diverged run into a mean hides both).
+    by_cell = {}
+    for r in recs:
+        by_cell.setdefault(r["cell"], []).append(r)
     lines = ["# DCDP / LCC ablation + geo-cap A/B (synthetic colon benchmark)",
              "",
-             f"{len(recs)} cells x {recs[0]['steps']} steps, held-out eval "
-             "sequence (seed 999). Lower is better for all error metrics.",
+             f"{len(by_cell)} cells x {steps} steps; statistical cells "
+             f"run {len(SEEDS)} seeds {list(SEEDS)} (mean +/- std over "
+             "CONVERGED seeds; a seed counts as diverged when rpe_rot_deg "
+             f"> {DIVERGED_RPE_ROT_DEG}). Held-out eval sequence (seed "
+             "999). Lower is better for all error metrics.",
              "",
-             "| cell | " + " | ".join(keys) + " |",
-             "|---|" + "---|" * len(keys)]
-    for r in recs:
-        lines.append(f"| {r['cell']} | "
-                     + " | ".join(f"{r[k]:.4f}" for k in keys) + " |")
+             "| cell | seeds (conv/total) | " + " | ".join(keys) + " |",
+             "|---|---|" + "---|" * len(keys)]
+    for cell, rs in by_cell.items():
+        conv = [r for r in rs if r["rpe_rot_deg"] <= DIVERGED_RPE_ROT_DEG]
+        use = conv or rs  # all-diverged cell: report it, flagged
+        cols = []
+        for k in keys:
+            vals = np.array([r[k] for r in use], dtype=np.float64)
+            if len(use) > 1:
+                cols.append(f"{vals.mean():.4f}±{vals.std(ddof=1):.4f}")
+            else:
+                cols.append(f"{vals.mean():.4f}")
+        flag = "" if conv == rs else " ⚠diverged" if not conv else " ⚠"
+        lines.append(f"| {cell}{flag} | {len(conv)}/{len(rs)} | "
+                     + " | ".join(cols) + " |")
     with open(os.path.join(out_root, "ABLATION.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     with open(os.path.join(out_root, "ablation.jsonl"), "w") as f:
