@@ -30,7 +30,7 @@ import numpy as np
 
 def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
              geo_cap: int = None, geo_w: float = None, name: str = None,
-             exp_jitter: float = 0.0, seed: int = 42):
+             exp_jitter: float = 0.0, seed: int = 42, lcc_mode: str = None):
     import jax
     from colvo.config import ColvoConfig
     from colvo.data import SnippetDataset, render_sequence
@@ -54,6 +54,8 @@ def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
     cfg.train.seed = seed
     cfg.model.dcdp_fusion = dcdp
     cfg.loss.lcc = lcc
+    if lcc_mode is not None:
+        cfg.loss.lcc_mode = lcc_mode
     if geo_cap is not None:
         cfg.loss.geo_res_cap = geo_cap
     if geo_w is not None:
@@ -103,34 +105,18 @@ DIVERGED_RPE_ROT_DEG = 30.0
 SEEDS = (42, 7, 1234)  # >=3 seeds per statistical cell (VERDICT r2 next #3)
 
 
-def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    out_root = sys.argv[2] if len(sys.argv) > 2 else "runs/ablate"
-    os.makedirs(out_root, exist_ok=True)
-    recs = []
-    # 2x2 DCDP/LCC grid (reference claims, README.md:5-7) x 3 seeds,
-    # trained under the production default (uncapped native-scale geo
-    # protocol — the 4000-step A/B in round 2 flipped the default) ...
-    for seed in SEEDS:
-        for dcdp, lcc in [(True, True), (True, False), (False, True), (False, False)]:
-            recs.append(run_cell(dcdp, lcc, steps, out_root, seed=seed))
-    # ... + LCC in its intended regime: per-frame auto-exposure gain
-    # (U(0.65, 1.35), train AND eval), also x 3 seeds. The plain grid's
-    # headlight falloff is geometrically consistent between frames, so
-    # LCC has nothing to absorb there; this pair tests the reference's
-    # actual claim ("accounts for brightness variations", README.md:6-7).
-    for seed in SEEDS:
-        for lcc in (True, False):
-            recs.append(run_cell(True, lcc, steps, out_root, exp_jitter=0.35,
-                                 name=f"expjit_dcdp1_lcc{int(lcc)}",
-                                 seed=seed))
-    # ... + the single-seed protocol arms: geo-cap A/B (capped arm; the
-    # uncapped arm IS dcdp1_lcc1) and DCDP's loss-level coupling ablated.
-    recs.append(run_cell(True, True, steps, out_root, geo_cap=64,
-                         name="dcdp1_lcc1_geocap64"))
-    recs.append(run_cell(True, True, steps, out_root, geo_w=0.0,
-                         name="dcdp1_lcc1_geow0"))
+def aggregate(out_root: str, steps: int):
+    """Re-aggregate every completed cell under ``out_root`` into
+    ABLATION.md + ablation.jsonl. Called after EVERY cell so a partial
+    sweep (killed mid-run, resumed later) always has a current table."""
+    import glob
 
+    recs = []
+    for p in sorted(glob.glob(os.path.join(out_root, "*", "result.json"))):
+        with open(p) as f:
+            recs.append(json.load(f))
+    if not recs:
+        return
     keys = [k for k in recs[0] if k not in ("cell", "seed", "dcdp", "lcc",
                                             "steps", "train_s")]
     # aggregate across seeds: mean +/- std per cell, diverged seeds
@@ -142,10 +128,11 @@ def main():
     lines = ["# DCDP / LCC ablation + geo-cap A/B (synthetic colon benchmark)",
              "",
              f"{len(by_cell)} cells x {steps} steps; statistical cells "
-             f"run {len(SEEDS)} seeds {list(SEEDS)} (mean +/- std over "
-             "CONVERGED seeds; a seed counts as diverged when rpe_rot_deg "
-             f"> {DIVERGED_RPE_ROT_DEG}). Held-out eval sequence (seed "
-             "999). Lower is better for all error metrics.",
+             f"run up to {len(SEEDS)} seeds {list(SEEDS)} (mean +/- std "
+             "over CONVERGED seeds; a seed counts as diverged when "
+             f"rpe_rot_deg > {DIVERGED_RPE_ROT_DEG}). Only the training "
+             "seed varies — corpus and held-out eval sequence (seed 999) "
+             "stay fixed. Lower is better for all error metrics.",
              "",
              "| cell | seeds (conv/total) | " + " | ".join(keys) + " |",
              "|---|---|" + "---|" * len(keys)]
@@ -167,6 +154,56 @@ def main():
     with open(os.path.join(out_root, "ablation.jsonl"), "w") as f:
         for r in recs:
             f.write(json.dumps(r) + "\n")
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    out_root = sys.argv[2] if len(sys.argv) > 2 else "runs/ablate"
+    os.makedirs(out_root, exist_ok=True)
+
+    # Cell list in PRIORITY order (headline cells and all their seeds
+    # first): a partial sweep then yields multi-seed statistics for the
+    # claims that matter most before spending chip time on the rest.
+    #   - 2x2 DCDP/LCC grid (reference claims, README.md:5-7), trained
+    #     under the production default (uncapped native-scale geo
+    #     protocol — round 2's 4000-step A/B flipped the default);
+    #   - LCC in its intended regime: per-frame auto-exposure gain
+    #     (U(0.65, 1.35), train AND eval). The plain grid's headlight
+    #     falloff is geometrically consistent between frames, so LCC has
+    #     nothing to absorb there; these cells test the reference's
+    #     actual claim ("accounts for brightness variations").
+    #     The lccG arm trains the per-frame GLOBAL affine mode — the
+    #     matched prior for auto-exposure (VERDICT r2 next #5);
+    #   - single-seed protocol arms: geo-cap A/B (the uncapped arm IS
+    #     dcdp1_lcc1) and DCDP's loss-level coupling ablated.
+    def _headline(seed):
+        return [
+            dict(dcdp=True, lcc=True, seed=seed),
+            dict(dcdp=True, lcc=True, seed=seed, exp_jitter=0.35,
+                 name="expjit_dcdp1_lcc1"),
+            dict(dcdp=True, lcc=False, seed=seed, exp_jitter=0.35,
+                 name="expjit_dcdp1_lcc0"),
+            dict(dcdp=True, lcc=True, seed=seed, exp_jitter=0.35,
+                 lcc_mode="global+affine", name="expjit_dcdp1_lccG"),
+        ]
+
+    def _grid_rest(seed):
+        return [
+            dict(dcdp=True, lcc=False, seed=seed),
+            dict(dcdp=False, lcc=True, seed=seed),
+            dict(dcdp=False, lcc=False, seed=seed),
+        ]
+
+    cells = (
+        _headline(SEEDS[0]) + _grid_rest(SEEDS[0])  # full seed-42 table
+        + [c for s in SEEDS[1:] for c in _headline(s)]   # headline stats
+        + [dict(dcdp=True, lcc=True, geo_cap=64, name="dcdp1_lcc1_geocap64"),
+           dict(dcdp=True, lcc=True, geo_w=0.0, name="dcdp1_lcc1_geow0")]
+        + [c for s in SEEDS[1:] for c in _grid_rest(s)]  # grid stats
+    )
+    for cell in cells:
+        run_cell(steps=steps, out_root=out_root, **cell)
+        aggregate(out_root, steps)
     print(f"wrote {out_root}/ABLATION.md")
 
 

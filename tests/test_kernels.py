@@ -111,7 +111,12 @@ def test_scatter_fullgrad_interpret_parity_oob():
     np.testing.assert_allclose(np.asarray(pal_di), np.asarray(ref_di), atol=2e-5)
 
 
-@pytest.mark.parametrize("lcc_window", [15, 0])
+@pytest.mark.parametrize(
+    "lcc_window",
+    [pytest.param(15, marks=pytest.mark.slow), 0],  # the windowed-LCC
+    # variant interprets ~3x longer; window=0 pins the kernel structure
+    # in the fast loop (VERDICT r2 next #9)
+)
 def test_fused_loss_interpret_parity(lcc_window):
     """K1 fused warp+LCC+SSIM+L1 kernel vs the composed XLA pipeline:
     per-pixel error map + coords gradient (SURVEY.md §2.7 K1)."""
@@ -173,10 +178,12 @@ def test_scatter_fullgrad_bounded_on_garbage_coords():
     assert d_img.shape == img.shape  # completed under caps; no wedge
 
 
+@pytest.mark.slow
 def test_scatter_cap_overflow_audit():
     """The overflow audit (ADVICE r2 medium) makes the scatter kernel's
     static-cap exactness contract observable: 0 dropped classes for a
-    physical VO warp, nonzero for a garbage warp that exceeds the caps."""
+    physical VO warp, nonzero for a garbage warp that exceeds the caps.
+    (slow: interprets the kernel over several warp regimes)"""
     from colvo.kernels.scatter import scatter_cap_overflow
 
     rng = np.random.default_rng(3)

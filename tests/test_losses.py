@@ -270,15 +270,38 @@ def test_automask_static_scene():
 # ---------------------------------------------------------------- total
 
 
-def _setup_snippet(h=32, w=32, b=1):
+def _setup_snippet(h=32, w=32, b=1, n_scales=4):
     from colvo.models import ColVOModel
 
-    mcfg = ModelConfig(dtype="float32", n_scales=4)
+    mcfg = ModelConfig(dtype="float32", n_scales=n_scales)
     model = ColVOModel(mcfg)
     frames = jnp.asarray(RNG.random((b, 3, h, w, 3)).astype(np.float32))
     params = model.init(jax.random.key(0), frames)
     k = jnp.array([[0.58 * w, 0, w / 2], [0, 0.92 * h, h / 2], [0, 0, 1]], dtype=jnp.float32)
     return model, params, frames, k, mcfg
+
+
+def _rand_disps_poses(mcfg, frames):
+    """Random-but-plausible decoder outputs: per-frame disparity pyramids
+    (sigmoid range, scale s at H/2^s) + small pose params. Lets loss
+    tests differentiate w.r.t. the loss INPUTS without compiling the
+    conv model into the graph."""
+    b, n_frames, h, w = frames.shape[:4]
+    disps = [
+        [
+            jnp.asarray(
+                0.05 + 0.9 * RNG.random(
+                    (b, h >> s, w >> s, 1)
+                ).astype(np.float32)
+            )
+            for s in range(mcfg.n_scales)
+        ]
+        for _ in range(n_frames)
+    ]
+    poses = jnp.asarray(
+        0.01 * RNG.standard_normal((b, n_frames - 1, 6)).astype(np.float32)
+    )
+    return disps, poses
 
 
 @pytest.mark.slow
@@ -304,7 +327,7 @@ def test_snippet_loss_finite_and_grads_flow():
 
 
 def test_snippet_loss_ablations_run():
-    model, params, frames, k, mcfg = _setup_snippet(32, 32)
+    model, params, frames, k, mcfg = _setup_snippet(32, 32, n_scales=2)
     disps, poses = model.apply(params, frames)
     for lcfg in [
         LossConfig(lcc=False, geometric_weight=0.0, automask=False),
@@ -324,47 +347,77 @@ def test_snippet_loss_ablations_run():
 def test_geo_modes_grads_flow_and_agree_on_sign():
     """Both geo protocols produce finite, nonzero grads; the stop-grad mode
     must still backprop into pose and target depth (only the sampled source
-    depth is detached)."""
-    model, params, frames, k, mcfg = _setup_snippet()
+    depth is detached). Differentiates w.r.t. (disps, poses) DIRECTLY —
+    the contract is a property of the loss, and leaving the conv model
+    out of the graph cuts the CPU compile ~10x (fast-loop budget,
+    VERDICT r2 next #9); grads THROUGH the model are covered by the
+    slow-marked test_snippet_loss_finite_and_grads_flow."""
+    _, _, frames, k, mcfg = _setup_snippet(n_scales=2)
+    disps, poses = _rand_disps_poses(mcfg, frames)
 
-    def loss_fn(p, lcfg):
-        disps, poses = model.apply(p, frames)
+    def loss_fn(dp):
         loss, aux = snippet_loss(
-            disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg
+            dp[0], dp[1], frames, k, jnp.linalg.inv(k), LossConfig(), mcfg
         )
         return loss, aux["loss/geometric"]
 
-    for lcfg in [LossConfig(), LossConfig(geo_full_res=True, geo_stopgrad=False)]:
-        (loss, geo), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, lcfg), has_aux=True
-        )(params)
-        assert np.isfinite(float(loss)) and np.isfinite(float(geo))
-        assert float(geo) > 0
-        leaves = jax.tree.leaves(grads)
-        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
-        assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+    (loss, geo), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (disps, poses)
+    )
+    assert np.isfinite(float(loss)) and np.isfinite(float(geo))
+    assert float(geo) > 0
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # pose AND every frame's disparity pyramid receive gradient
+    assert float(jnp.sum(jnp.abs(grads[1]))) > 0
+    for fi, pyr in enumerate(grads[0]):
+        assert sum(float(jnp.sum(jnp.abs(g))) for g in pyr) > 0, fi
+
+
+@pytest.mark.slow
+def test_geo_full_res_grads_flow():
+    """Grad flow through the family's full-res/full-grad geo protocol
+    (the semantics contract; fwd covered fast in ablations_run)."""
+    model, params, frames, k, mcfg = _setup_snippet(n_scales=2)
+
+    def loss_fn(p):
+        disps, poses = model.apply(p, frames)
+        loss, aux = snippet_loss(
+            disps, poses, frames, k, jnp.linalg.inv(k),
+            LossConfig(geo_full_res=True, geo_stopgrad=False), mcfg,
+        )
+        return loss, aux["loss/geometric"]
+
+    (loss, geo), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss)) and float(geo) > 0
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
 
 
 def test_batched_photo_equals_per_pair_loop():
     """loss.batched_photo stacks the n_scales x n_sources photometric
     evaluations into one sampler+stats call; it must be the per-pair
-    loop's math exactly (same loss AND same param grads)."""
-    model, params, frames, k, mcfg = _setup_snippet()
+    loop's math exactly (same loss AND same grads). Grads are taken
+    w.r.t. (disps, poses) — the loss inputs — which pins the same VJP
+    equivalence while keeping the conv model out of all SIX compiled
+    graphs (fast-loop budget); see _rand_disps_poses."""
+    _, _, frames, k, mcfg = _setup_snippet(n_scales=2)
+    disps, poses = _rand_disps_poses(mcfg, frames)
 
-    def loss_fn(p, lcfg):
-        disps, poses = model.apply(p, frames)
+    def loss_fn(dp, lcfg):
         loss, _ = snippet_loss(
-            disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg
+            dp[0], dp[1], frames, k, jnp.linalg.inv(k), lcfg, mcfg
         )
         return loss
 
     for extra in [{}, {"lcc": False}, {"automask": False}]:
         l_b, g_b = jax.value_and_grad(
-            lambda p: loss_fn(p, LossConfig(batched_photo=True, **extra))
-        )(params)
+            lambda dp: loss_fn(dp, LossConfig(batched_photo=True, **extra))
+        )((disps, poses))
         l_l, g_l = jax.value_and_grad(
-            lambda p: loss_fn(p, LossConfig(batched_photo=False, **extra))
-        )(params)
+            lambda dp: loss_fn(dp, LossConfig(batched_photo=False, **extra))
+        )((disps, poses))
         np.testing.assert_allclose(float(l_b), float(l_l), rtol=1e-6)
         for a, b_ in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_l)):
             np.testing.assert_allclose(
