@@ -134,7 +134,9 @@ void chain_poses(const double* rels, int64_t n, int64_t renorm_every,
       }
     std::memcpy(t, next, sizeof(t));
 
-    if ((i + 1) % renorm_every == 0) {
+    // renorm_every <= 0 means "never renormalize" (the drift-A/B arm);
+    // an unguarded modulo here is a SIGFPE, not an exception.
+    if (renorm_every > 0 && (i + 1) % renorm_every == 0) {
       // Gram–Schmidt on the 3×3 block (columns)
       double* m = t;
       double cx[3] = {m[0], m[4], m[8]};

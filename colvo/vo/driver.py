@@ -88,7 +88,7 @@ def chain_relative_poses(
         t_wc = np.eye(4, dtype=np.float64)
         for i in range(len(rels)):
             t_wc = t_wc @ np.linalg.inv(rels[i])
-            if (i + 1) % renorm_every == 0:
+            if renorm_every > 0 and (i + 1) % renorm_every == 0:
                 t_wc[:3, :3] = _renorm(t_wc[:3, :3])
             poses.append(t_wc.copy())
         return np.stack(poses)

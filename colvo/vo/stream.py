@@ -291,12 +291,18 @@ class StreamingVO:
         return depths, pose6
 
     def run(
-        self, frames: Iterable[np.ndarray]
+        self, frames: Iterable[np.ndarray], keep_depths: bool = True
     ) -> Tuple[List[np.ndarray], np.ndarray]:
         """Stream frames → (per-frame depth maps, (N-1, 6) relative poses).
 
         Frames may be uint8 HWC (preferred: 4× cheaper on the wire) or
         float in [0, 1]; normalization happens on device either way.
+
+        ``keep_depths=False`` drops each decoded depth map after fetch
+        (returns an empty list): a multi-thousand-frame trajectory run
+        stays O(chunk) on the host too, instead of retaining N full-res
+        maps nobody asked for. The wire still carries depth — the
+        executor protocol (and its cost) is identical in both modes.
         """
         it = iter(frames)
         try:
@@ -331,7 +337,8 @@ class StreamingVO:
 
         def drain(fut):
             dn, pn, n = fut.result()
-            depths.extend(dn[i] for i in range(n))
+            if keep_depths:
+                depths.extend(dn[i] for i in range(n))
             poses.append(pn[:n])
 
         # bounds device-resident wire buffers (O(chunk) memory each)
@@ -349,7 +356,10 @@ class StreamingVO:
             for fut in futures:
                 drain(fut)
 
-        all_depths = [np.asarray(d0).astype(np.float32)[0]] + depths
+        all_depths = (
+            [np.asarray(d0).astype(np.float32)[0]] + depths
+            if keep_depths else []
+        )
         rel = (
             np.concatenate(poses, axis=0)
             if poses

@@ -52,6 +52,16 @@ def test_stream_matches_per_pair_coupled(tiny_runner, frames):
     np.testing.assert_allclose(depths[-1], db[0], rtol=1e-4, atol=1e-5)
 
 
+def test_stream_keep_depths_false_poses_identical(tiny_runner, frames):
+    """keep_depths=False (the long-run O(chunk)-host mode) returns no
+    depth maps but bit-identical poses — the wire protocol is unchanged."""
+    runner, _ = tiny_runner
+    d_k, p_k = StreamingVO(runner, chunk_size=3).run(frames)
+    d_n, p_n = StreamingVO(runner, chunk_size=3).run(frames, keep_depths=False)
+    assert d_n == [] and len(d_k) == len(frames)
+    np.testing.assert_array_equal(p_k, p_n)
+
+
 def test_stream_uint8_close_to_float(tiny_runner, frames):
     """uint8-on-the-wire (device-side /255) ≈ float path (quantization only)."""
     runner, _ = tiny_runner
@@ -196,3 +206,18 @@ def test_chain_relative_poses_identity_and_inverse():
     np.testing.assert_allclose(
         poses[:, 2, 3], [0.0, -0.1, -0.2, -0.3], atol=1e-12
     )
+
+
+def test_chain_relative_poses_renorm_zero_means_never():
+    """renorm_every=0 (the drift-A/B arm) must mean 'never renormalize',
+    not a modulo-by-zero — the native chain used to SIGFPE on it (found
+    by the long-video proof run), killing the process without a
+    traceback."""
+    rng = np.random.default_rng(3)
+    rel6 = 0.01 * rng.standard_normal((64, 6))
+    p0 = chain_relative_poses(rel6, renorm_every=0)
+    p50 = chain_relative_poses(rel6, renorm_every=50)
+    assert p0.shape == p50.shape == (65, 4, 4)
+    assert np.all(np.isfinite(p0))
+    # over 64 small steps a single renorm barely moves the chain
+    np.testing.assert_allclose(p0, p50, atol=1e-6)
