@@ -24,7 +24,14 @@ class InferenceRunner:
     def __init__(self, cfg: ColvoConfig, params):
         self.cfg = cfg
         self.model = ColVOModel(cfg.model)
-        self.params = params
+        # Commit params to device ONCE. Host-numpy params (the npz import
+        # path) are re-uploaded by jit on EVERY dispatch — ~120 MB of
+        # weights per streaming chunk through a ~34 MB/s host link turned
+        # the 130 fps executor into 3 fps and leaked a host-side f32
+        # conversion per call (found by the 3000-frame long-video proof;
+        # per-chunk diagnostic pinned 6-9 s/chunk + ~115 MB/chunk RSS
+        # growth). device_put is a no-op for already-committed arrays.
+        self.params = jax.device_put(params)
 
         @jax.jit
         def _depth(params, imgs):

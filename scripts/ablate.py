@@ -189,8 +189,8 @@ def main():
 
     def _grid_rest(seed):
         return [
+            dict(dcdp=False, lcc=True, seed=seed),  # the headline -DCDP row
             dict(dcdp=True, lcc=False, seed=seed),
-            dict(dcdp=False, lcc=True, seed=seed),
             dict(dcdp=False, lcc=False, seed=seed),
         ]
 
