@@ -35,6 +35,21 @@ def frames(tiny_runner):
     return rng.random((n, cfg.data.height, cfg.data.width, 3)).astype(np.float32)
 
 
+def test_runner_commits_params_to_device():
+    """InferenceRunner must device_put host-numpy params at construction:
+    jit re-uploads numpy arguments on EVERY dispatch, which turned the
+    130 fps streaming executor into 3 fps for npz-loaded weights (the
+    import/eval/VO path — found by the 3000-frame long-video proof)."""
+    cfg = ColvoConfig()
+    cfg.model.dtype = "float32"
+    cfg.data.height, cfg.data.width = 64, 96
+    _, state = init_state(cfg, jax.random.key(0))
+    np_params = jax.tree.map(np.asarray, state.params)
+    runner = InferenceRunner(cfg, np_params)
+    leaves = jax.tree.leaves(runner.params)
+    assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+
+
 def test_stream_matches_per_pair_coupled(tiny_runner, frames):
     """Chunked streaming == per-pair infer_coupled (same params, same frames)."""
     runner, _ = tiny_runner
