@@ -30,7 +30,8 @@ import numpy as np
 
 def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
              geo_cap: int = None, geo_w: float = None, name: str = None,
-             exp_jitter: float = 0.0, seed: int = 42, lcc_mode: str = None):
+             exp_jitter: float = 0.0, seed: int = 42, lcc_mode: str = None,
+             overrides: dict = None):
     import jax
     from colvo.config import ColvoConfig
     from colvo.data import SnippetDataset, render_sequence
@@ -60,6 +61,9 @@ def run_cell(dcdp: bool, lcc: bool, steps: int, out_root: str,
         cfg.loss.geo_res_cap = geo_cap
     if geo_w is not None:
         cfg.loss.geometric_weight = geo_w
+    for dotted, v in (overrides or {}).items():  # e.g. {"loss.photo_native": True}
+        sect, attr = dotted.split(".")
+        setattr(getattr(cfg, sect), attr, v)
     cfg.data.loader = "device"
     cfg.train.ckpt_dir = os.path.join(out_dir, "ckpt")
     cfg.train.log_every = 500
@@ -196,6 +200,12 @@ def main():
 
     cells = (
         _headline(SEEDS[0]) + _grid_rest(SEEDS[0])  # full seed-42 table
+        # photo_native quality A/B (one cell): the −7 ms byte-diet knob is
+        # off by default pending this exact comparison vs dcdp1_lcc1
+        # (VERDICT r3 weak #3). Early in the order so the perf work later
+        # this round can act on the verdict.
+        + [dict(dcdp=True, lcc=True, name="dcdp1_lcc1_pnative",
+                overrides={"loss.photo_native": True})]
         + [c for s in SEEDS[1:] for c in _headline(s)]   # headline stats
         + [dict(dcdp=True, lcc=True, geo_cap=64, name="dcdp1_lcc1_geocap64"),
            dict(dcdp=True, lcc=True, geo_w=0.0, name="dcdp1_lcc1_geow0")]
