@@ -36,12 +36,20 @@ class _SnippetSource(gp.RandomAccessDataSource):
     def __repr__(self) -> str:
         # grain validates resumed iterator state via repr(data_source);
         # the default object repr embeds the process-local id() and would
-        # reject every cross-process restore. Content-derived identity:
+        # reject every cross-process restore. Content-derived identity —
+        # including a cheap fingerprint of the first sample's bytes, so a
+        # state checkpointed against a *different* corpus with matching
+        # shape/length is rejected instead of silently resuming wrong data.
+        if len(self._ds) == 0:
+            return "_SnippetSource(n=0)"
+        import zlib
+
         first = self._ds[0]
+        fp = zlib.adler32(np.ascontiguousarray(first.frames).tobytes())
         return (
             f"_SnippetSource(n={len(self._ds)}, "
             f"frames={tuple(first.frames.shape)}, "
-            f"dtype={first.frames.dtype})"
+            f"dtype={first.frames.dtype}, fp={fp:08x})"
         )
 
 
@@ -108,23 +116,29 @@ class StatefulGrainIterator:
     continuation (tests/test_checkpoint.py::test_grain_resume_bitwise).
     """
 
-    _KEEP = 16  # > max prefetch depth; states are tiny JSON blobs
+    def __init__(self, it, keep: int = 16):
+        # keep must exceed the consumer's prefetch depth (the gap between
+        # batches pulled and the step being checkpointed); states are tiny
+        # JSON blobs so a generous margin is free.
+        import threading
 
-    def __init__(self, it):
         self._it = it
+        self._keep = max(2, keep)
         self._count = 0
         self._states = {0: it.get_state()}
+        # __next__ runs on the prefetch producer thread while state_at is
+        # called from the training loop — guard the shared history.
+        self._lock = threading.Lock()
 
     def __iter__(self):
         return self
 
     def __next__(self):
         batch = next(self._it)
-        self._count += 1
-        self._states[self._count] = self._it.get_state()
-        stale = self._count - self._KEEP
-        if stale in self._states:
-            del self._states[stale]
+        with self._lock:
+            self._count += 1
+            self._states[self._count] = self._it.get_state()
+            self._states.pop(self._count - self._keep, None)
         return batch
 
     @property
@@ -133,19 +147,36 @@ class StatefulGrainIterator:
 
     def state_at(self, n_consumed: int) -> bytes:
         """Serialized iterator state after exactly ``n_consumed`` batches."""
-        return self._states[n_consumed]
+        with self._lock:
+            try:
+                return self._states[n_consumed]
+            except KeyError:
+                have = sorted(self._states)
+                raise KeyError(
+                    f"grain iterator state for batch count {n_consumed} was "
+                    f"evicted (retained: {have[0]}..{have[-1]}, keep="
+                    f"{self._keep}). The consumer prefetched more than "
+                    f"`keep` batches past the checkpointed step — construct "
+                    f"grain_batch_iterator with keep >= prefetch depth + "
+                    f"checkpoint lag."
+                ) from None
 
     def set_state(self, state: bytes) -> None:
         """Restore; the count/history restart at the restored position."""
-        self._it.set_state(state)
-        self._count = 0
-        self._states = {0: self._it.get_state()}
+        with self._lock:
+            self._it.set_state(state)
+            self._count = 0
+            self._states = {0: self._it.get_state()}
 
 
 def grain_batch_iterator(
     dataset: SnippetDataset, cfg: DataConfig, seed: int = 0,
-    num_epochs: Optional[int] = None,
+    num_epochs: Optional[int] = None, keep: int = 16,
 ) -> StatefulGrainIterator:
     """Iterator facade matching ``batch_iterator``'s contract, with
-    checkpointable position (``state_at``/``set_state``)."""
-    return StatefulGrainIterator(iter(grain_loader(dataset, cfg, seed, num_epochs)))
+    checkpointable position (``state_at``/``set_state``). ``keep`` bounds
+    the retained state history and must exceed the consumer's prefetch
+    depth (the training loop derives it from its prefetch size)."""
+    return StatefulGrainIterator(
+        iter(grain_loader(dataset, cfg, seed, num_epochs)), keep=keep
+    )

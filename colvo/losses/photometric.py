@@ -120,6 +120,7 @@ def lcc_calibrate(
     mode: str = "affine",
     window: int = 15,
     clip: Tuple[float, float] = (0.5, 2.0),
+    valid_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Light Consistent Calibration (L1 in SURVEY.md §2.4): recalibrate the
     warped source frame's luminosity to the target before comparison.
@@ -154,18 +155,37 @@ def lcc_calibrate(
     * ``global+affine``: global affine, then windowed affine (residual
                          low-frequency falloff)
     * ``global+gain``:   global affine, then windowed gain
+
+    ``valid_mask`` (optional, (B, H, W) or (B, H, W, 1)): the global
+    moments pool every pixel of the warped frame, including out-of-frame
+    samples the bilinear sampler border-clamps; for large motions that
+    invalid fraction biases the per-frame ga/gb applied to the valid
+    region. When given, the global* moments are masked means over valid
+    pixels only. The windowed modes ignore it (local stats are already
+    dominated by in-frame neighborhoods, and the automask/valid weighting
+    downstream handles the border).
     """
     if mode == "off":
         return warped
     eps = 1e-4
     if mode.startswith("global"):
-        gmu_w = jnp.mean(warped, axis=(1, 2), keepdims=True)
-        gmu_t = jnp.mean(target, axis=(1, 2), keepdims=True)
-        gvar = jnp.mean(warped * warped, axis=(1, 2), keepdims=True) - gmu_w**2
-        gcov = (
-            jnp.mean(warped * target, axis=(1, 2), keepdims=True)
-            - gmu_w * gmu_t
-        )
+        if valid_mask is not None:
+            m = valid_mask.astype(warped.dtype)
+            if m.ndim == warped.ndim - 1:
+                m = m[..., None]
+            m = jax.lax.stop_gradient(m)
+            denom = jnp.sum(m, axis=(1, 2), keepdims=True) + 1e-6
+
+            def _gmean(x):
+                return jnp.sum(x * m, axis=(1, 2), keepdims=True) / denom
+        else:
+            def _gmean(x):
+                return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+        gmu_w = _gmean(warped)
+        gmu_t = _gmean(target)
+        gvar = _gmean(warped * warped) - gmu_w**2
+        gcov = _gmean(warped * target) - gmu_w * gmu_t
         # tighter regularizer than the windowed eps: the global moments
         # pool the whole frame, so even a low-contrast frame's variance
         # dwarfs 1e-7 and the estimated gain is not biased low the way

@@ -224,9 +224,10 @@ def snippet_loss(
     # per-pair loop (asserted in tests/test_losses.py).
     err_lookup: Dict[Tuple[int, int], jnp.ndarray] = {}
 
-    def _stats_err(warped, tgt_f):
+    def _stats_err(warped, tgt_f, vmask=None):
         if lcc_mode != "off":
-            warped = lcc_calibrate(warped, tgt_f, lcc_mode, loss_cfg.lcc_window)
+            warped = lcc_calibrate(warped, tgt_f, lcc_mode, loss_cfg.lcc_window,
+                                   valid_mask=vmask)
         return photometric_error(warped, tgt_f, loss_cfg.ssim_alpha)
 
     # photo_remat: the stats pipeline (LCC window stats + SSIM moments)
@@ -247,6 +248,11 @@ def snippet_loss(
                 lcc_mode, loss_cfg.lcc_window, loss_cfg.ssim_alpha,
             )
         warped = bilinear_sample_fast(src_f, pix_f)
+        if lcc_mode.startswith("global"):
+            # Global LCC moments must not pool border-clamped out-of-frame
+            # samples (they bias the per-frame gain for large motions).
+            vmask = _valid_mask(pix_f, pix_f.shape[1], pix_f.shape[2])
+            return _stats_err(warped, tgt_f, vmask)
         return _stats_err(warped, tgt_f)
 
     if loss_cfg.batched_photo:

@@ -142,8 +142,13 @@ def make_training_eval_hook(cfg: ColvoConfig, model):
             pix, _ = project(pts, k, t_mats[:, s])
             warped = bilinear_sample(snippet[:, s + 1], pix)
             if cfg.loss.lcc and cfg.loss.lcc_mode != "off":
+                vm = None
+                if cfg.loss.lcc_mode.startswith("global"):
+                    from colvo.geometry.ops import _valid_mask
+
+                    vm = _valid_mask(pix, pix.shape[1], pix.shape[2])
                 warped = lcc_calibrate(warped, tgt, cfg.loss.lcc_mode,
-                                       cfg.loss.lcc_window)
+                                       cfg.loss.lcc_window, valid_mask=vm)
             err = photometric_error(warped, tgt, cfg.loss.ssim_alpha)
             errs.append(err)
             ids.append(photometric_error(snippet[:, s + 1], tgt,

@@ -59,8 +59,19 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError("no checkpoint found")
         # Item presence from the on-disk layout (directory/<step>/<item>):
-        # older checkpoints have no "loader" item.
-        has_loader = os.path.isdir(os.path.join(self._dir, str(step), "loader"))
+        # checkpoints written before the loader-state upgrade were saved as
+        # a single unnamed item (plain StandardSave → on-disk "default");
+        # Composite restore raises on those, so detect the legacy layout
+        # and restore through the single-item path.
+        step_dir = os.path.join(self._dir, str(step))
+        legacy = not os.path.isdir(os.path.join(step_dir, "state"))
+        if legacy:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_like._asdict())
+            )
+            state = TrainState(**restored)
+            return (state, step, None) if with_loader_state else (state, step)
+        has_loader = os.path.isdir(os.path.join(step_dir, "loader"))
         items = {"state": ocp.args.StandardRestore(state_like._asdict())}
         if has_loader:
             items["loader"] = ocp.args.JsonRestore()

@@ -20,6 +20,10 @@ from colvo.runtime.mesh import batch_sharding, make_mesh, replicate_tree
 from colvo.runtime.metrics import AsyncMetricsLogger, MetricsWriter
 from colvo.runtime.train_step import TrainState, init_state, make_optimizer, make_train_step
 
+# Host→device prefetch depth for the host-side loaders. The grain
+# iterator's checkpointable state history is sized from this (see below).
+_PREFETCH = 2
+
 
 def train(
     cfg: ColvoConfig,
@@ -101,7 +105,12 @@ def train(
     elif cfg.data.loader == "grain":
         from colvo.data.grain_loader import grain_batch_iterator
 
-        batches = grain_batch_iterator(dataset, cfg.data, seed=cfg.train.seed)
+        # keep ties the iterator's retained state history to this loop's
+        # prefetch depth: the checkpointed step trails the last-pulled
+        # batch by at most _PREFETCH, plus margin for the async ckpt lag.
+        batches = grain_batch_iterator(
+            dataset, cfg.data, seed=cfg.train.seed, keep=_PREFETCH + 14
+        )
     else:
         batches = batch_iterator(dataset, cfg.data, seed=cfg.train.seed)
     if cfg.data.loader == "grain" and restored_loader_state is not None:
@@ -130,7 +139,7 @@ def train(
             return shard_batch(b, mesh, cfg.mesh.axis_name)
 
         stream = prefetch_to_device(
-            map(shard, batches) if sharding else batches, size=2
+            map(shard, batches) if sharding else batches, size=_PREFETCH
         )
 
     # One background worker serializes checkpoint fetch+save off the loop.

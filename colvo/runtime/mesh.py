@@ -83,13 +83,28 @@ def cross_process_barrier(name: str, timeout_s: float = 600.0) -> bool:
     barrier here, then execute. Returns True when a barrier was actually
     performed.
     """
-    from jax._src import distributed
-
-    client = distributed.global_state.client
-    if client is None or jax.process_count() <= 1:
+    if jax.process_count() <= 1:
         return False
-    client.wait_at_barrier(name, int(timeout_s * 1000))
-    return True
+    try:
+        # jax._src.distributed is private with no stability guarantee; an
+        # upgrade that moves it must degrade to the public barrier below
+        # rather than break multihost startup (ADVICE r3).
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is None:
+            return False
+        client.wait_at_barrier(name, int(timeout_s * 1000))
+        return True
+    except (ImportError, AttributeError):
+        # Public fallback: sync_global_devices rendezvouses every process.
+        # It rides a collective (psum over all devices), so unlike the
+        # coordination-service barrier it needs the collective transport up
+        # — acceptable as a degraded path on newer JAX.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+        return True
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:

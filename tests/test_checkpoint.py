@@ -149,6 +149,32 @@ def test_grain_resume_bitwise(tmp_path, model_state):
     mgr2.close()
 
 
+def test_restore_legacy_single_item_layout(tmp_path, model_state):
+    """Checkpoints written before the loader-state upgrade were saved as a
+    single unnamed item (plain StandardSave → on-disk 'default'); restore
+    must detect that layout and fall back instead of raising (ADVICE r3)."""
+    import orbax.checkpoint as ocp
+
+    cfg, model, state = model_state
+    legacy_dir = str(tmp_path / "ckpt")
+    raw = ocp.CheckpointManager(os.path.abspath(legacy_dir))
+    raw.save(5, args=ocp.args.StandardSave(
+        jax.tree.map(np.asarray, state)._asdict()))
+    raw.wait_until_finished()
+    raw.close()
+
+    mgr = CheckpointManager(legacy_dir)
+    restored, step = mgr.restore(state)
+    assert step == 5
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the loader-state variant reports None rather than raising
+    _, step, ls = mgr.restore(state, with_loader_state=True)
+    assert step == 5 and ls is None
+    mgr.close()
+
+
 def test_export_load_params_roundtrip(tmp_path, model_state):
     _, _, state = model_state
     path = str(tmp_path / "weights.npz")

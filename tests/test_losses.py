@@ -130,6 +130,28 @@ def test_lcc_global_mode_exact_on_exposure():
         assert cal < 1e-3 and raw > 100 * cal, (mode, raw, cal)
 
 
+def test_lcc_global_masked_moments_ignore_invalid_region():
+    """Out-of-frame samples (border-clamped by the sampler) must not bias
+    the global gain: with a validity mask excluding a corrupted band, the
+    calibration is exact on the valid region (ADVICE r3)."""
+    yy = np.linspace(0.3, 0.7, 48, dtype=np.float32)[None, :, None, None]
+    tgt = jnp.asarray(yy + 0.01 * RNG.random((1, 48, 64, 3)).astype(np.float32))
+    exposed = jnp.clip(tgt * 1.6 + 0.02, 0.0, 2.0)
+    # corrupt the bottom quarter the way border-clamping does (constant
+    # replication of one row — wrong content, plausible values)
+    corrupted = exposed.at[:, 36:].set(exposed[:, 35:36])
+    mask = jnp.ones((1, 48, 64)).at[:, 36:].set(0.0)
+
+    cal_masked = lcc_calibrate(corrupted, tgt, "global", valid_mask=mask)
+    err_valid = float(jnp.mean(jnp.abs(cal_masked - tgt)[:, :36]))
+    assert err_valid < 1e-5, err_valid  # exact on the valid region
+
+    # unmasked, the corrupted band biases ga/gb and the valid region pays
+    cal_unmasked = lcc_calibrate(corrupted, tgt, "global")
+    err_unmasked = float(jnp.mean(jnp.abs(cal_unmasked - tgt)[:, :36]))
+    assert err_unmasked > 10 * max(err_valid, 1e-7), (err_unmasked, err_valid)
+
+
 def test_lcc_global_does_not_fix_geometry():
     """One scalar gain per frame cannot absorb spatial misalignment."""
     tgt = rand_img(1, 48, 64)
