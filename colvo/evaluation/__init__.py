@@ -12,6 +12,7 @@ from colvo.evaluation.viz import (
     viz_trajectory,
     viz_depth_grid,
     viz_recon,
+    viz_recon_pair,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "viz_trajectory",
     "viz_depth_grid",
     "viz_recon",
+    "viz_recon_pair",
 ]

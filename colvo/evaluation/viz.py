@@ -105,12 +105,65 @@ def viz_recon(
 ) -> None:
     """Reconstruction render (figure type 3): point cloud + camera
     trajectory arrows + polyp markers with per-polyp error labels."""
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    _draw_recon_ax(ax, points, colors, trajectory, polyps, polyp_errors,
+                   title, max_points)
+    fig.tight_layout()
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+
+
+def viz_recon_pair(
+    left: dict,
+    right: dict,
+    path: str,
+    suptitle: str = "3D colon reconstruction — GT vs ours",
+    max_points: int = 60000,
+) -> None:
+    """Side-by-side reconstruction comparison (the reference's flagship
+    figure shape, imgs/3Dcolonreconstruction.png: GT colon next to the
+    stitched prediction, with trajectory arrows + polyp markers).
+
+    ``left``/``right``: dicts with keys ``points`` (required) and optional
+    ``colors``, ``trajectory``, ``polyps``, ``polyp_errors``, ``title``.
+    Both panels share axis limits so scale differences are visible.
+    """
+    fig = plt.figure(figsize=(14, 6))
+    axes = [fig.add_subplot(1, 2, i + 1, projection="3d") for i in range(2)]
+    for ax, spec in zip(axes, (left, right)):
+        _draw_recon_ax(
+            ax, spec["points"], spec.get("colors"), spec.get("trajectory"),
+            spec.get("polyps"), spec.get("polyp_errors"),
+            spec.get("title", ""), max_points,
+        )
+    # shared limits: union of both clouds
+    allp = np.concatenate([np.asarray(left["points"]), np.asarray(right["points"])])
+    lo, hi = allp.min(axis=0), allp.max(axis=0)
+    for ax in axes:
+        ax.set_xlim(lo[0], hi[0])
+        ax.set_ylim(lo[1], hi[1])
+        ax.set_zlim(lo[2], hi[2])
+    fig.suptitle(suptitle)
+    fig.tight_layout()
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+
+
+def _draw_recon_ax(
+    ax,
+    points: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    trajectory: Optional[np.ndarray] = None,
+    polyps: Optional[np.ndarray] = None,
+    polyp_errors: Optional[Sequence[float]] = None,
+    title: str = "",
+    max_points: int = 60000,
+) -> None:
     if len(points) > max_points:
         sel = np.random.default_rng(0).choice(len(points), max_points, replace=False)
         points = points[sel]
         colors = colors[sel] if colors is not None else None
-    fig = plt.figure(figsize=(8, 6))
-    ax = fig.add_subplot(111, projection="3d")
     ax.scatter(
         points[:, 0], points[:, 1], points[:, 2],
         c=np.clip(colors, 0, 1) if colors is not None else "tan",
@@ -142,6 +195,3 @@ def viz_recon(
     ax.set_xlabel("x")
     ax.set_ylabel("y")
     ax.set_zlabel("z")
-    fig.tight_layout()
-    fig.savefig(path, dpi=130)
-    plt.close(fig)

@@ -128,23 +128,21 @@ def run_vo(
     if isinstance(runner, InferenceRunner):
         from colvo.vo.stream import StreamingVO
 
-        depths_all, rel6 = StreamingVO(
+        # Keyframe retention happens INSIDE the stream (O(N/k) host
+        # memory) — the executor drops non-keyframe depths at fetch time.
+        depths_kf, rel6 = StreamingVO(
             runner, chunk_size=chunk_size, depth_dtype=depth_dtype,
             input_format=input_format,
-        ).run(frames)
-        if not depths_all:
+        ).run(frames, keyframe_every=keyframe_every)
+        if not depths_kf:
             return VOResult(poses=np.eye(4)[None].astype(np.float64))
         poses = chain_relative_poses(rel6, renorm_every=renorm_every)
-        n = len(depths_all)
-        # keyframe protocol identical to the per-pair loop below
-        ids = [i for i in range(n - 1) if i % keyframe_every == 0]
-        if (n - 1) % keyframe_every == 0 or not ids:
-            ids.append(n - 1)
-        return VOResult(
-            poses=poses,
-            depths=[depths_all[i] for i in ids],
-            keyframe_ids=ids,
-        )
+        n = poses.shape[0]
+        # keyframe protocol identical to the per-pair loop below:
+        # multiples of keyframe_every in [0, n-1]
+        ids = [i for i in range(n) if i % keyframe_every == 0]
+        assert len(ids) == len(depths_kf), (len(ids), len(depths_kf))
+        return VOResult(poses=poses, depths=depths_kf, keyframe_ids=ids)
 
     if input_format != "rgb":
         raise ValueError(

@@ -291,7 +291,8 @@ class StreamingVO:
         return depths, pose6
 
     def run(
-        self, frames: Iterable[np.ndarray], keep_depths: bool = True
+        self, frames: Iterable[np.ndarray], keep_depths: bool = True,
+        keyframe_every: Optional[int] = None,
     ) -> Tuple[List[np.ndarray], np.ndarray]:
         """Stream frames → (per-frame depth maps, (N-1, 6) relative poses).
 
@@ -303,7 +304,16 @@ class StreamingVO:
         stays O(chunk) on the host too, instead of retaining N full-res
         maps nobody asked for. The wire still carries depth — the
         executor protocol (and its cost) is identical in both modes.
+
+        ``keyframe_every=k`` retains only depth maps of frames whose
+        global index is a multiple of k (the reconstruction keyframe
+        protocol, vo/driver.py) — O(N/k) host memory for full-sequence
+        stitching (README.md:29) instead of O(N). Frame 0 is always a
+        keyframe. Implies keep_depths.
         """
+        ke = int(keyframe_every) if keyframe_every else 1
+        if keyframe_every:
+            keep_depths = True
         it = iter(frames)
         try:
             first = np.asarray(next(it))
@@ -334,11 +344,16 @@ class StreamingVO:
 
         depths: List[np.ndarray] = []
         poses: List[np.ndarray] = []
+        next_idx = 1  # global frame index of dn[0] in the next drained chunk
 
         def drain(fut):
+            nonlocal next_idx
             dn, pn, n = fut.result()
             if keep_depths:
-                depths.extend(dn[i] for i in range(n))
+                depths.extend(
+                    dn[i] for i in range(n) if (next_idx + i) % ke == 0
+                )
+            next_idx += n
             poses.append(pn[:n])
 
         # bounds device-resident wire buffers (O(chunk) memory each)

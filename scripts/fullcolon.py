@@ -1,0 +1,222 @@
+"""Full-colon 3D reconstruction at reference scale (README.md:29-31).
+
+The reference's flagship artifact is a complete GT-vs-ours colon point
+cloud with the camera trajectory and polyp markers overlaid
+(imgs/3Dcolonreconstruction.png). This drives the production pipeline at
+that scale: a multi-thousand-frame rendered colonoscopy streams through
+the chunked VO executor with IN-STREAM keyframe depth retention
+(vo/stream.py keyframe_every — O(N/k) host memory, O(chunk) device), the
+keyframe depths are stitched through the chained poses (voxel-grid
+downsample: native C++ kernel), sim(3)-aligned to GT, and rendered
+side-by-side against the GT-depth reconstruction with trajectory arrows
+and per-polyp localization errors.
+
+Writes docs/fullcolon_recon.png, docs/fullcolon_ours.ply.gz,
+docs/FULLCOLON.md (+ raw JSON).
+
+Usage: python scripts/fullcolon.py [n_frames] [weights] [out_dir]
+Env: COLVO_PLATFORM=cpu to run on the CPU backend (e.g. while the TPU is
+busy) — the artifact is backend-independent, only slower to produce.
+"""
+
+import gzip
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+
+import numpy as np
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e6
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    weights = sys.argv[2] if len(sys.argv) > 2 else "runs/ablate/dcdp1_lcc1/weights.npz"
+    out_dir = sys.argv[3] if len(sys.argv) > 3 else "docs"
+    keyframe_every = int(os.environ.get("COLVO_KEYFRAME_EVERY", "10"))
+    voxel = float(os.environ.get("COLVO_VOXEL", "0.003"))
+    # Stitch only near-wall geometry: rays nearly parallel to the lumen
+    # axis hit the renderer's far-depth cap (data/synthetic.py), and the
+    # model's far predictions are unconstrained — the union of per-frame
+    # near rings still covers the whole traversed tube densely.
+    stitch_depth_cap = float(os.environ.get("COLVO_STITCH_DEPTH_CAP", "0.08"))
+    os.makedirs(out_dir, exist_ok=True)
+
+    import jax
+
+    if os.environ.get("COLVO_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["COLVO_PLATFORM"])
+
+    from colvo.config import ColvoConfig
+    from colvo.data.synthetic import default_intrinsics, make_trajectory, render_frame
+    from colvo.evaluation import evaluate_pose, viz_recon_pair
+    from colvo.pipelines import make_runner
+    from colvo.vo import (
+        PolypDetection,
+        VOResult,
+        localize_polyps,
+        run_vo,
+        save_ply,
+        stitch_pointclouds,
+        umeyama,
+    )
+
+    cfg = ColvoConfig()
+    h, w = cfg.data.height, cfg.data.width
+    k = default_intrinsics(h, w)
+    # Same trajectory/cache as the long-video proof (scripts/longvideo.py)
+    gt_poses = make_trajectory(n_frames, step=0.004, wobble=0.3, seed=2026)
+
+    cache = f"/tmp/longvideo_{n_frames}_{h}x{w}.npz"
+    if os.path.exists(cache):
+        frames_u8 = np.load(cache)["frames"]
+        print(f"loaded cached render {cache}", flush=True)
+    else:
+        print(f"rendering {n_frames} frames {h}x{w} ...", flush=True)
+        frames_u8 = np.zeros((n_frames, h, w, 3), dtype=np.uint8)
+        for i in range(n_frames):
+            f, _ = render_frame(gt_poses[i], k, h, w, radius=0.03)
+            frames_u8[i] = np.clip(f * 255.0, 0, 255).astype(np.uint8)
+        np.savez(cache, frames=frames_u8)
+
+    runner = make_runner(cfg, weights)
+    t0 = time.time()
+    vo = run_vo(runner, iter(frames_u8), keyframe_every=keyframe_every,
+                chunk_size=32, depth_dtype="float16")
+    vo_s = time.time() - t0
+    print(f"VO: {n_frames} frames in {vo_s:.0f}s "
+          f"({n_frames / vo_s:.1f} fps), {len(vo.depths)} keyframe depths, "
+          f"RSS {_rss_mb():.0f} MB", flush=True)
+
+    gt64 = gt_poses.astype(np.float64)
+    pose_metrics = evaluate_pose(vo.poses, gt64)
+
+    # sim(3) alignment (monocular scale ambiguity): poses into the GT
+    # frame, depths scaled by the same s, so the stitched cloud lands in
+    # GT coordinates and the two panels share a metric scale.
+    rot, tvec, s = umeyama(vo.poses[:, :3, 3], gt64[:, :3, 3])
+    apose = vo.poses.astype(np.float64).copy()
+    apose[:, :3, 3] = (s * (rot @ vo.poses[:, :3, 3].T)).T + tvec
+    apose[:, :3, :3] = rot @ vo.poses[:, :3, :3]
+    vo_aligned = VOResult(poses=apose, depths=[d * s for d in vo.depths],
+                          keyframe_ids=vo.keyframe_ids)
+
+    # GT reconstruction from GT depths at the same keyframes
+    t0 = time.time()
+    gt_depths = []
+    for fid in vo.keyframe_ids:
+        _, d = render_frame(gt_poses[fid], k, h, w, radius=0.03)
+        gt_depths.append(d.astype(np.float32))
+    gt_vo = VOResult(poses=gt64, depths=gt_depths,
+                     keyframe_ids=list(vo.keyframe_ids))
+    print(f"GT keyframe depths rendered in {time.time() - t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    cloud_ours = stitch_pointclouds(vo_aligned, k, frames=frames_u8,
+                                    voxel=voxel, max_depth=stitch_depth_cap)
+    cloud_gt = stitch_pointclouds(gt_vo, k, frames=frames_u8,
+                                  voxel=voxel, max_depth=stitch_depth_cap)
+    stitch_s = time.time() - t0
+    print(f"stitched: ours {len(cloud_ours)} pts, GT {len(cloud_gt)} pts "
+          f"in {stitch_s:.0f}s, RSS {_rss_mb():.0f} MB", flush=True)
+
+    # polyp markers: synthetic detections at keyframe-aligned frames whose
+    # GT 3D position is exact (GT depth lifted through GT pose) — the
+    # reference figure's e-metric (imgs/3Dcolonreconstruction.png).
+    rng = np.random.default_rng(5)
+    k_inv64 = np.linalg.inv(k.astype(np.float64))
+    dets, gts = [], []
+    for frac in (0.25, 0.5, 0.75):
+        fid = (int(n_frames * frac) // keyframe_every) * keyframe_every
+        cx = int(rng.integers(w // 4, 3 * w // 4))
+        cy = int(rng.integers(h // 4, 3 * h // 4))
+        dets.append(PolypDetection(frame_id=fid, box=(cx - 6, cy - 6, cx + 6, cy + 6)))
+        d_gt = float(gt_depths[vo.keyframe_ids.index(fid)][cy, cx])
+        p_cam = k_inv64 @ np.array([cx, cy, 1.0]) * d_gt
+        gts.append(gt64[fid, :3, :3] @ p_cam + gt64[fid, :3, 3])
+    locs = localize_polyps(vo_aligned, k, dets, np.stack(gts))
+    polyp_err = [l.error for l in locs]
+
+    viz_recon_pair(
+        {"points": cloud_gt.points, "colors": cloud_gt.colors,
+         "trajectory": gt64[:, :3, 3], "polyps": np.stack(gts),
+         "title": f"Ground truth ({n_frames} frames)"},
+        {"points": cloud_ours.points, "colors": cloud_ours.colors,
+         "trajectory": apose[:, :3, 3],
+         "polyps": np.stack([l.position_world for l in locs]),
+         "polyp_errors": polyp_err,
+         "title": f"ColVO (ours), sim(3)-aligned — ATE {pose_metrics['ate']:.4f}"},
+        os.path.join(out_dir, "fullcolon_recon.png"),
+        suptitle=f"Complete 3D colon reconstruction — {n_frames} frames, "
+                 f"{len(vo.depths)} keyframes",
+    )
+
+    ply_tmp = os.path.join(out_dir, "fullcolon_ours.ply")
+    save_ply(cloud_ours, ply_tmp)
+    with open(ply_tmp, "rb") as fin, gzip.open(ply_tmp + ".gz", "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    os.remove(ply_tmp)
+
+    rec = {
+        "n_frames": n_frames,
+        "weights": weights,
+        "keyframe_every": keyframe_every,
+        "voxel": voxel,
+        "vo_s": round(vo_s, 1),
+        "fps": round(n_frames / vo_s, 1),
+        "platform": jax.devices()[0].platform,
+        "n_points_ours": len(cloud_ours),
+        "n_points_gt": len(cloud_gt),
+        "rss_mb_end": round(_rss_mb(), 1),
+        **{kk: round(vv, 6) for kk, vv in pose_metrics.items()},
+        **{f"polyp/e{i + 1}": round(e, 4) for i, e in enumerate(polyp_err)},
+        "polyp/e_mean": round(float(np.mean(polyp_err)), 4),
+    }
+    with open(os.path.join(out_dir, "fullcolon.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+
+    lines = [
+        "# Complete 3D colon reconstruction (reference flagship artifact)",
+        "",
+        f"{n_frames} rendered colonoscopy frames (256x320 class, unseen "
+        "trajectory seed 2026) streamed through the production chunked VO "
+        f"executor with in-stream keyframe retention (every "
+        f"{keyframe_every}th frame, {len(vo.depths)} keyframe depths — "
+        "O(N/k) host memory, O(chunk) device memory). Keyframe depths "
+        "stitched through the chained poses, voxel-downsampled "
+        f"({voxel} m cells, native C++ kernel), sim(3)-aligned to GT. "
+        "Matches /root/reference/README.md:29-31 "
+        "(imgs/3Dcolonreconstruction.png: GT-vs-ours cloud + trajectory + "
+        "polyp markers with per-polyp error e).",
+        "",
+        f"* cloud: ours {len(cloud_ours):,} pts / GT {len(cloud_gt):,} pts "
+        f"(`fullcolon_ours.ply.gz`)",
+        f"* trajectory: ATE {pose_metrics['ate']:.4f} m (sim3), "
+        f"RPE rot {pose_metrics['rpe_rot_deg']:.3f} deg/frame over "
+        f"{n_frames} frames",
+        f"* polyp localization e (m): "
+        + ", ".join(f"{e:.4f}" for e in polyp_err)
+        + f" (mean {np.mean(polyp_err):.4f})",
+        f"* produced on: {jax.devices()[0].platform} backend, "
+        f"{n_frames / vo_s:.1f} fps VO phase, host RSS {_rss_mb():.0f} MB "
+        "(bounded by keyframe count, not sequence length)",
+        "",
+        "![reconstruction](fullcolon_recon.png)",
+    ]
+    with open(os.path.join(out_dir, "FULLCOLON.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(rec), flush=True)
+    print(f"wrote {out_dir}/FULLCOLON.md")
+
+
+if __name__ == "__main__":
+    main()

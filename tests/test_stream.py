@@ -67,6 +67,20 @@ def test_stream_matches_per_pair_coupled(tiny_runner, frames):
     np.testing.assert_allclose(depths[-1], db[0], rtol=1e-4, atol=1e-5)
 
 
+def test_stream_keyframe_retention_matches_select(tiny_runner, frames):
+    """In-stream keyframe retention (O(N/k) host memory) keeps exactly the
+    depths a keep-all run would select at i % k == 0, and identical poses."""
+    runner, _ = tiny_runner
+    sv = StreamingVO(runner, chunk_size=3, depth_dtype="float32")
+    all_d, rel_a = sv.run(frames)
+    kf_d, rel_b = sv.run(frames, keyframe_every=3)
+    np.testing.assert_array_equal(rel_a, rel_b)
+    expect = [all_d[i] for i in range(len(all_d)) if i % 3 == 0]
+    assert len(kf_d) == len(expect)
+    for a, b in zip(kf_d, expect):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_stream_keep_depths_false_poses_identical(tiny_runner, frames):
     """keep_depths=False (the long-run O(chunk)-host mode) returns no
     depth maps but bit-identical poses — the wire protocol is unchanged."""
