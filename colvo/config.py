@@ -61,6 +61,14 @@ class ModelConfig:
     #   torch family-checkpoint import target, colvo.runtime.torch_import)
     # Compute dtype for conv stacks; params stay float32.
     dtype: str = "bfloat16"
+    remat: bool = False  # rematerialize conv blocks (flax nn.remat on every
+    #   encoder BasicBlock + decoder ConvBlock): the backward pass recomputes
+    #   block activations instead of reading them from HBM. The step is
+    #   bandwidth-bound at ~8.5% MFU (README perf table) — recompute FLOPs
+    #   are free, activation bytes are not. Exact math (remat is not an
+    #   approximation; grad parity pinned in tests/test_models.py), param
+    #   tree unchanged (checkpoint-compatible). Off by default pending
+    #   on-chip measurement.
 
 
 @dataclass
@@ -166,6 +174,12 @@ class TrainConfig:
     ckpt_dir: str = "checkpoints"
     ckpt_keep: int = 3
     max_bad_steps: int = 10  # NaN-loss abort guard (SURVEY.md §5.3)
+    adam_mu_dtype: str = ""  # storage dtype for Adam's first moment
+    #   ("bfloat16" halves its HBM read+write per step; "" = float32).
+    #   The second moment stays float32 — its dynamic range carries the
+    #   effective per-param LR and bf16's 8 mantissa bits visibly perturb
+    #   sqrt(nu). mu is a smoothed gradient; bf16 noise there is dominated
+    #   by minibatch noise (standard large-scale practice).
     dispatch_ahead_windows: int = 2  # bound async dispatch to N log_every
     #   windows past executed work (runtime/loop.py): one tunnel round
     #   trip per window when healthy; back-pressure + a dispatch-side

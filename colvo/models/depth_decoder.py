@@ -62,22 +62,29 @@ class DepthDecoder(nn.Module):
     n_scales: int = 4
     pad_mode: str = "same"
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False  # see ResNetEncoder.remat
 
     @nn.compact
     def __call__(self, enc_features: Sequence[jnp.ndarray]) -> Dict[int, jnp.ndarray]:
         outputs: Dict[int, jnp.ndarray] = {}
         reflect = self.pad_mode == "reflect"
+        # Explicit names pin the param tree to the historical auto-naming
+        # so remat never invalidates a checkpoint (see ResNetEncoder).
+        block_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
+        block_n = 0
         x = enc_features[-1]
         # i indexes decoder levels 4..0; level i produces features at /2^i.
         for i in range(4, -1, -1):
-            x = ConvBlock(DECODER_CHANNELS[i], pad_mode=self.pad_mode,
-                          dtype=self.dtype)(x)
+            x = block_cls(DECODER_CHANNELS[i], pad_mode=self.pad_mode,
+                          dtype=self.dtype, name=f"ConvBlock_{block_n}")(x)
+            block_n += 1
             x = upsample_nearest(x)
             if i > 0:
                 skip = enc_features[i - 1]
                 x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            x = ConvBlock(DECODER_CHANNELS[i], pad_mode=self.pad_mode,
-                          dtype=self.dtype)(x)
+            x = block_cls(DECODER_CHANNELS[i], pad_mode=self.pad_mode,
+                          dtype=self.dtype, name=f"ConvBlock_{block_n}")(x)
+            block_n += 1
             if i < self.n_scales:
                 xf = x.astype(jnp.float32)
                 disp = nn.Conv(1, (3, 3),

@@ -35,11 +35,13 @@ class DepthNet(nn.Module):
     @nn.compact
     def __call__(self, img: jnp.ndarray) -> Tuple[Dict[int, jnp.ndarray], jnp.ndarray]:
         dt = _dtype(self.cfg)
-        feats = ResNetEncoder(self.cfg.num_layers, norm=self.cfg.norm, dtype=dt, name="encoder")(img)
+        feats = ResNetEncoder(self.cfg.num_layers, norm=self.cfg.norm, dtype=dt,
+                              remat=self.cfg.remat, name="encoder")(img)
         # Import variant mirrors the family's reflection-padded decoder
         # (colvo/models/depth_decoder.py docstring).
         pad_mode = "reflect" if self.cfg.norm == "none" else "same"
-        disps = DepthDecoder(self.cfg.n_scales, pad_mode=pad_mode, dtype=dt, name="decoder")(feats)
+        disps = DepthDecoder(self.cfg.n_scales, pad_mode=pad_mode, dtype=dt,
+                             remat=self.cfg.remat, name="decoder")(feats)
         return disps, feats[-1]
 
 
@@ -62,7 +64,9 @@ class ColVOModel(nn.Module):
     def setup(self):
         dt = _dtype(self.cfg)
         self.depth_net = DepthNet(self.cfg, name="depth")
-        self.pose_encoder = ResNetEncoder(self.cfg.num_layers, norm=self.cfg.norm, dtype=dt, name="pose_encoder")
+        self.pose_encoder = ResNetEncoder(self.cfg.num_layers, norm=self.cfg.norm,
+                                          dtype=dt, remat=self.cfg.remat,
+                                          name="pose_encoder")
         if self.cfg.dcdp_fusion:
             self.fusion = DCDPFusion(self.cfg.fusion_channels, dtype=dt, name="fusion")
         self.pose_decoder = PoseDecoder(

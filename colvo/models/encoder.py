@@ -96,6 +96,8 @@ class ResNetEncoder(nn.Module):
     num_layers: int = 18
     norm: str = "group"
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False  # recompute block activations in backward
+    #   (bandwidth-bound step, idle MXU — see ModelConfig.remat)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Sequence[jnp.ndarray]:
@@ -103,6 +105,12 @@ class ResNetEncoder(nn.Module):
             raise ValueError(f"num_layers must be one of {sorted(_STAGES)}")
         stages = _STAGES[self.num_layers]
         torch_geom = self.norm == "none"
+        # Explicit names pin the param tree to the historical auto-naming
+        # (nn.remat's wrapper class would otherwise auto-name blocks
+        # "CheckpointBasicBlock_N"), so flipping the knob never
+        # invalidates a checkpoint (pinned in tests/test_models.py).
+        block_cls = nn.remat(BasicBlock) if self.remat else BasicBlock
+        block_n = 0
 
         features = []
         x = x.astype(self.dtype)
@@ -117,7 +125,9 @@ class ResNetEncoder(nn.Module):
         for stage_idx, (blocks, width) in enumerate(zip(stages, ENCODER_CHANNELS[1:])):
             for block_idx in range(blocks):
                 strides = 2 if (stage_idx > 0 and block_idx == 0) else 1
-                x = BasicBlock(width, strides=strides, norm=self.norm,
-                               dtype=self.dtype)(x)
+                x = block_cls(width, strides=strides, norm=self.norm,
+                              dtype=self.dtype,
+                              name=f"BasicBlock_{block_n}")(x)
+                block_n += 1
             features.append(x)  # /4, /8, /16, /32
         return features

@@ -41,11 +41,13 @@ def make_optimizer(cfg: ColvoConfig, steps_per_epoch: int = 1000) -> optax.Gradi
         init_value=cfg.train.lr,
         boundaries_and_scales={decay_step: cfg.train.lr_decay_factor},
     )
+    mu_dtype = jnp.bfloat16 if cfg.train.adam_mu_dtype == "bfloat16" else None
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip),
-        optax.adamw(schedule, weight_decay=cfg.train.weight_decay)
+        optax.adamw(schedule, weight_decay=cfg.train.weight_decay,
+                    mu_dtype=mu_dtype)
         if cfg.train.weight_decay > 0
-        else optax.adam(schedule),
+        else optax.adam(schedule, mu_dtype=mu_dtype),
     )
     return tx
 

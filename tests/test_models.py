@@ -104,3 +104,53 @@ def test_dcdp_fusion_changes_pose(cfg):
     params_p = {"params": flax.traverse_util.unflatten_dict(perturbed)}
     _, poses_b = model.apply(params_p, frames)
     assert float(jnp.max(jnp.abs(poses_a - poses_b))) > 1e-7
+
+
+@pytest.mark.slow  # two full ColVOModel grad compiles (~67 s CPU)
+def test_remat_exact_grads_and_param_tree():
+    """model.remat recomputes activations — exact math, identical params.
+
+    Remat is a scheduling choice, not an approximation: the loss, grads,
+    and the param tree (checkpoint compatibility) must match the plain
+    forward bitwise-tolerantly on CPU.
+    """
+    frames = jnp.asarray(
+        np.random.default_rng(3).random((1, 3, H, W, 3)).astype(np.float32))
+
+    outs = {}
+    for remat in (False, True):
+        cfg_r = ModelConfig(dtype="float32", remat=remat)
+        model = ColVOModel(cfg_r)
+        params = model.init(jax.random.key(0), frames)
+
+        def scalar(p):
+            disps, poses = model.apply(p, frames)
+            return jnp.mean(disps[0][0]) + jnp.mean(poses)
+
+        loss, grads = jax.jit(jax.value_and_grad(scalar))(params)
+        outs[remat] = (loss, grads, jax.tree.structure(params))
+
+    assert outs[False][2] == outs[True][2]  # same param tree either way
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[False][1]),
+                    jax.tree.leaves(outs[True][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_adam_mu_dtype_bf16_moment_storage():
+    """train.adam_mu_dtype=bfloat16 stores mu in bf16, nu in f32."""
+    from colvo.config import ColvoConfig
+    from colvo.runtime.train_step import make_optimizer
+
+    cfg = ColvoConfig()
+    cfg.train.adam_mu_dtype = "bfloat16"
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.zeros((4, 4), jnp.float32)}
+    state = tx.init(params)
+    adam_state = state[1][0] if isinstance(state[1], tuple) else state[1]
+    assert adam_state.mu["w"].dtype == jnp.bfloat16
+    assert adam_state.nu["w"].dtype == jnp.float32
+    # one update runs and keeps params f32
+    g = {"w": jnp.ones((4, 4), jnp.float32)}
+    updates, _ = tx.update(g, state, params)
+    assert updates["w"].dtype == jnp.float32
