@@ -31,8 +31,36 @@ def small_cfg():
     return cfg
 
 
+def _fake_state(seed: int = 0) -> TrainState:
+    """Checkpoint payload with the TrainState shape but no conv model:
+    the serde tests exercise Orbax layout/restore logic, which is
+    structure-generic — building the real model costs a ~20 s CPU init
+    compile per module (fast-loop budget). Gradients/steps through the
+    real model are covered by the slow-marked kill-and-resume test."""
+    rng = np.random.default_rng(seed)
+
+    def arr(*shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    params = {"params": {"depth": {"encoder": {"Conv_0": {"kernel": arr(3, 3, 3, 8)}},
+                                   "decoder": {"ConvBlock_0": {"Conv_0": {
+                                       "kernel": arr(3, 3, 8, 4), "bias": arr(4)}}}},
+                         "pose_decoder": {"Conv_0": {"kernel": arr(1, 1, 8, 6)}}}}
+    tx = make_optimizer(small_cfg())
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
 @pytest.fixture(scope="module")
 def model_state():
+    cfg = small_cfg()
+    return cfg, None, _fake_state()
+
+
+@pytest.fixture(scope="module")
+def real_model_state():
+    """The full ColVOModel TrainState — only the slow fault-injection
+    test pays for this init compile."""
     cfg = small_cfg()
     model, state = init_state(cfg, jax.random.key(0))
     return cfg, model, state
@@ -66,10 +94,10 @@ def test_keep_n_policy(tmp_path, model_state):
 
 
 @pytest.mark.slow
-def test_kill_and_resume_bitwise(tmp_path, model_state):
+def test_kill_and_resume_bitwise(tmp_path, real_model_state):
     """Fault injection (SURVEY.md §5.3): training state saved at step k and
     'killed'; a fresh process-equivalent restore must continue bitwise."""
-    cfg, model, state = model_state
+    cfg, model, state = real_model_state
     tx = make_optimizer(cfg)
     step_fn = make_train_step(model, tx, cfg)
     rng = np.random.default_rng(0)
@@ -129,7 +157,7 @@ def test_grain_resume_bitwise(tmp_path, model_state):
     future = consumed[4:] + [next(it)]
 
     # "crash" → fresh process: new iterator + restore
-    _, fresh = init_state(cfg, jax.random.key(0))
+    fresh = _fake_state()
     it2 = grain_batch_iterator(ds, cfg.data, seed=0, num_epochs=4)
     _, step, loader_state = mgr.restore(fresh, with_loader_state=True)
     assert step == 4 and loader_state is not None

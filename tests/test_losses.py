@@ -292,7 +292,11 @@ def test_automask_static_scene():
 # ---------------------------------------------------------------- total
 
 
-def _setup_snippet(h=32, w=32, b=1, n_scales=4):
+import functools
+
+
+@functools.lru_cache(maxsize=None)  # 8 call sites, 2 distinct signatures —
+def _setup_snippet(h=32, w=32, b=1, n_scales=4):  # share the model init
     from colvo.models import ColVOModel
 
     mcfg = ModelConfig(dtype="float32", n_scales=n_scales)

@@ -65,11 +65,18 @@ def test_posenet_shapes_and_scale(cfg):
 
 
 @pytest.mark.slow
-def test_colvo_model_forward_and_grads(cfg):
+@pytest.fixture(scope="module")
+def colvo_model(cfg):
+    """Shared ColVOModel + init (init compile is the heavy part on CPU)."""
     model = ColVOModel(cfg)
     rng = np.random.default_rng(1)
     frames = jnp.asarray(rng.random((2, 3, H, W, 3)).astype(np.float32))
     params = model.init(jax.random.key(0), frames)
+    return model, params, frames
+
+
+def test_colvo_model_forward_and_grads(cfg, colvo_model):
+    model, params, frames = colvo_model
     disps, poses = jax.jit(model.apply)(params, frames)
     assert len(disps) == 3
     assert poses.shape == (2, 2, 6)
@@ -86,12 +93,9 @@ def test_colvo_model_forward_and_grads(cfg):
     assert total > 0
 
 
-def test_dcdp_fusion_changes_pose(cfg):
+def test_dcdp_fusion_changes_pose(cfg, colvo_model):
     """Coupling test: with fusion on, pose output depends on depth features."""
-    model = ColVOModel(cfg)
-    rng = np.random.default_rng(2)
-    frames = jnp.asarray(rng.random((1, 2, H, W, 3)).astype(np.float32))
-    params = model.init(jax.random.key(0), frames)
+    model, params, frames = colvo_model
     _, poses_a = model.apply(params, frames)
     # perturb only the depth encoder params; pose must change iff fused
     import flax
