@@ -64,7 +64,6 @@ def test_posenet_shapes_and_scale(cfg):
     assert float(jnp.max(jnp.abs(aa))) < 0.1
 
 
-@pytest.mark.slow
 @pytest.fixture(scope="module")
 def colvo_model(cfg):
     """Shared ColVOModel + init (init compile is the heavy part on CPU)."""
@@ -75,6 +74,7 @@ def colvo_model(cfg):
     return model, params, frames
 
 
+@pytest.mark.slow
 def test_colvo_model_forward_and_grads(cfg, colvo_model):
     model, params, frames = colvo_model
     disps, poses = jax.jit(model.apply)(params, frames)
