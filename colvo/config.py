@@ -104,8 +104,10 @@ class LossConfig:
     #   scale-local projection) instead of the Monodepth2 upsample-to-
     #   full-res protocol. Cuts the warp+LCC+SSIM byte traffic ~3×
     #   (1 + 1/4 + 1/16 + 1/64 vs 4 full-res evaluations) — the step is
-    #   bandwidth-bound (VERDICT r2 next #1). Off by default pending the
-    #   quality A/B (full-res exists to avoid texture-copy artifacts).
+    #   bandwidth-bound (VERDICT r2 next #1). Measured: −7 ms/step but
+    #   +13.5% Abs-Rel (0.0646 vs 0.0569±0.0014, 4000-step quality cell,
+    #   runs/ablate dcdp1_lcc1_pnative) — the full-res protocol's extra
+    #   bytes buy real depth accuracy, so OFF stays the default.
     photo_remat: bool = False  # recompute the LCC/SSIM window statistics
     #   in the backward pass (jax.checkpoint around the stats pipeline)
     #   instead of materializing ~a dozen full-res stat planes for the
