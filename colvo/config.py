@@ -108,6 +108,28 @@ class LossConfig:
     #   +13.5% Abs-Rel (0.0646 vs 0.0569±0.0014, 4000-step quality cell,
     #   runs/ablate dcdp1_lcc1_pnative) — the full-res protocol's extra
     #   bytes buy real depth accuracy, so OFF stays the default.
+    compute_dtype: str = ""  # photometric-plane storage/compute dtype:
+    #   "" (float32, default) | "bfloat16". Casts the warped
+    #   frame + comparison target right AFTER the bilinear gather (the
+    #   Pallas sampler is f32 — Mosaic 32-bit lane constraint) so every
+    #   downstream photometric plane — LCC window stats, SSIM moments,
+    #   err maps, identity/automask stacks and their saved VJP residuals —
+    #   moves half the HBM bytes. Geometry (depth/pose/projection/geo
+    #   consistency) and the final loss reductions stay float32.
+    #   MEASURED NEGATIVE on-chip and kept as the record: 340.3 ms/step vs
+    #   92.1 baseline (serial-chain protocol, round 4) — every f32<->bf16
+    #   boundary at full-res inserts convert+relayout copies (bf16 packs
+    #   (16,128) vs f32 (8,128) tiles) and splits the fusion islands, and
+    #   the round-4 profiler trace shows the loss's XLA stat planes were
+    #   only ~18 ms of the step anyway (custom-call Pallas kernels are 46,
+    #   model convs 29). The byte-diet intuition was measured wrong TWICE
+    #   here (photo_remat +7.4 ms, this 3.7x) — on this toolchain the f32
+    #   planes fuse better than anything that halves them. float16 is
+    #   rejected outright: measured NaN gradients through the SSIM
+    #   backward (VJP squares the ~1e-3 denominator past f16 range); bf16
+    #   keeps f32's exponent. CPU-measured fidelity had been fine (loss
+    #   rel-err 0.25%, pose-grad cosine 0.978 — tests/test_losses.py), so
+    #   the knob stays as a tested, honest negative result.
     photo_remat: bool = False  # recompute the LCC/SSIM window statistics
     #   in the backward pass (jax.checkpoint around the stats pipeline)
     #   instead of materializing ~a dozen full-res stat planes for the

@@ -135,6 +135,25 @@ def snippet_loss(
 
     t_mats = poses_to_transforms(poses, ())  # (B, S, 4, 4)
 
+    # Photometric-plane dtype diet (config.py loss.compute_dtype): every
+    # comparison plane downstream of the f32 bilinear gather — LCC/SSIM
+    # stats, err maps, identity/automask stacks — runs and stores in cdt;
+    # geometry and the final reductions stay f32.
+    if loss_cfg.compute_dtype not in ("", "float32", "bfloat16"):
+        # float16 is rejected on purpose: measured NaN gradients through
+        # the SSIM backward (den ~1e-3 squared in the VJP exceeds f16
+        # range on this loss); bf16's f32-width exponent is immune.
+        raise ValueError(
+            "loss.compute_dtype must be ''|float32|bfloat16, "
+            f"got {loss_cfg.compute_dtype!r}"
+        )
+    cdt = (
+        None
+        if loss_cfg.compute_dtype in ("", "float32")
+        else jnp.dtype(loss_cfg.compute_dtype)
+    )
+    _c = (lambda x: x.astype(cdt)) if cdt is not None else (lambda x: x)
+
     # Frame pyramids for the scale-native protocol (photo_native): the
     # photometric comparison at scale s uses 2^s-mean-pooled frames, so
     # warp + LCC + SSIM bytes shrink 4× per scale (the step is
@@ -153,7 +172,7 @@ def snippet_loss(
             identity_pyr = [
                 jnp.stack(
                     [
-                        photometric_error(src_pyr[sc][s], tgt_pyr[sc], loss_cfg.ssim_alpha)
+                        photometric_error(_c(src_pyr[sc][s]), _c(tgt_pyr[sc]), loss_cfg.ssim_alpha)
                         for s in range(n_sources)
                     ],
                     axis=-1,
@@ -163,7 +182,7 @@ def snippet_loss(
         else:
             identity_errors = jnp.stack(
                 [
-                    photometric_error(frames_clean[:, s + 1], tgt_clean, loss_cfg.ssim_alpha)
+                    photometric_error(_c(frames_clean[:, s + 1]), _c(tgt_clean), loss_cfg.ssim_alpha)
                     for s in range(n_sources)
                 ],
                 axis=-1,
@@ -247,7 +266,10 @@ def snippet_loss(
                 src_f, tgt_f, pix_f,
                 lcc_mode, loss_cfg.lcc_window, loss_cfg.ssim_alpha,
             )
-        warped = bilinear_sample_fast(src_f, pix_f)
+        # The gather stays f32 (Mosaic 32-bit lane constraint); the cast
+        # fuses into its consumers, so the stats/residual planes are cdt.
+        warped = _c(bilinear_sample_fast(src_f, pix_f))
+        tgt_f = _c(tgt_f)
         if lcc_mode.startswith("global"):
             # Global LCC moments must not pool border-clamped out-of-frame
             # samples (they bias the per-frame gain for large motions).
@@ -426,18 +448,27 @@ def snippet_loss(
                 geo_weights.append(g_weight)
                 # Downweight photometrically where geometry disagrees
                 # (occlusion/dynamic) — the DCDP loss-level coupling.
-                err = err * g_weight + err * (1.0 - gvalid * valid)
+                # Weights join in err's dtype so the cdt diet survives
+                # (bf16*f32 would silently promote the whole err stack).
+                gw = g_weight.astype(err.dtype)
+                gv = (gvalid * valid).astype(err.dtype)
+                err = err * gw + err * (1.0 - gv)
             warped_errors.append(err)
 
         errors = jnp.stack(warped_errors, axis=-1)  # (B, h_s, w_s, S)
+        # Reductions accumulate in f32 regardless of the cdt plane dtype
+        # (the convert fuses into the reduce — no extra HBM pass).
         if loss_cfg.automask:
             ident = identity_pyr[scale] if loss_cfg.photo_native else identity_errors
             min_err, mask = automask_fn(errors, ident)
-            photo = jnp.sum(min_err * mask) / (jnp.sum(mask) + 1e-7)
+            mask32 = mask.astype(jnp.float32)
+            photo = jnp.sum(min_err.astype(jnp.float32) * mask32) / (
+                jnp.sum(mask32) + 1e-7
+            )
         elif loss_cfg.min_reprojection:
-            photo = jnp.mean(jnp.min(errors, axis=-1))
+            photo = jnp.mean(jnp.min(errors, axis=-1).astype(jnp.float32))
         else:
-            photo = jnp.mean(errors)
+            photo = jnp.mean(errors.astype(jnp.float32))
 
         tgt_small = tgt_clean[:, :: 2**scale, :: 2**scale]
         smooth = smoothness_loss(disp_s, tgt_small) / (2**scale)

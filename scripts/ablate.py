@@ -208,6 +208,12 @@ def main():
                 overrides={"loss.photo_native": True})]
         + [c for s in SEEDS[1:] for c in _headline(s)]   # headline stats
         + [dict(dcdp=True, lcc=True, geo_cap=64, name="dcdp1_lcc1_geocap64"),
+           # geo@128 (round 4): the per-kernel microbench puts the scale-0
+           # geo full-grad warp at ~22 ms of the 92 ms step and a 128-cap
+           # at ~6 ms (scripts/bench_kernels.py); 64 wrecked quality but
+           # 128 was never tested — this cell is the quality half of that
+           # perf decision.
+           dict(dcdp=True, lcc=True, geo_cap=128, name="dcdp1_lcc1_geocap128"),
            dict(dcdp=True, lcc=True, geo_w=0.0, name="dcdp1_lcc1_geow0")]
         + [c for s in SEEDS[1:] for c in _grid_rest(s)]  # grid stats
     )
