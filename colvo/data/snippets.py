@@ -94,6 +94,16 @@ def batch_iterator(
     rng = np.random.default_rng(seed)
     n = len(dataset)
     bsz = cfg.batch_size
+    if n < bsz:
+        # With fewer snippets than one batch the epoch loop below yields
+        # NOTHING and next() blocks forever (measured: a silent 15-minute
+        # hang when bench_train asked for B=24 from a 16-frame sequence).
+        # Fail loudly instead.
+        raise ValueError(
+            f"dataset has {n} snippets but batch_size={bsz}; the trailing "
+            "partial batch is dropped (static shapes), so no batch can "
+            "ever be formed — use a longer corpus or a smaller batch"
+        )
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(n)

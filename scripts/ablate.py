@@ -213,7 +213,13 @@ def main():
            # at ~6 ms (scripts/bench_kernels.py); 64 wrecked quality but
            # 128 was never tested — this cell is the quality half of that
            # perf decision.
+           # 3 seeds: quality-neutral at one seed (abs_rel 0.0543 vs
+           # 0.0559, −5.6 ms/step) is default-flip evidence only at n≥3.
            dict(dcdp=True, lcc=True, geo_cap=128, name="dcdp1_lcc1_geocap128"),
+           dict(dcdp=True, lcc=True, geo_cap=128, seed=7,
+                name="dcdp1_lcc1_geocap128"),
+           dict(dcdp=True, lcc=True, geo_cap=128, seed=1234,
+                name="dcdp1_lcc1_geocap128"),
            dict(dcdp=True, lcc=True, geo_w=0.0, name="dcdp1_lcc1_geow0")]
         + [c for s in SEEDS[1:] for c in _grid_rest(s)]  # grid stats
     )

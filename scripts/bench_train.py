@@ -52,8 +52,11 @@ def main(argv=None):
     model, state = init_state(cfg, jax.random.key(0))
     tx = make_optimizer(cfg)
     step_fn = make_train_step(model, tx, cfg)
+    # enough snippets for ONE batch at any requested batch size (a 16-frame
+    # sequence yields ~14 snippets — B>=15 used to hang in batch_iterator)
     seq = render_sequence(
-        n_frames=16, height=cfg.data.height, width=cfg.data.width, seed=0
+        n_frames=max(16, cfg.data.batch_size + 4),
+        height=cfg.data.height, width=cfg.data.width, seed=0,
     )
     ds = SnippetDataset([seq.frames], [seq.k], cfg.data.frame_offsets)
     batch = jax.tree.map(jnp.asarray, next(batch_iterator(ds, cfg.data, seed=0)))

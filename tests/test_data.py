@@ -116,6 +116,17 @@ def test_array_source_roundtrip(seq):
     np.testing.assert_array_equal(src[3], seq.frames[3])
 
 
+def test_batch_iterator_rejects_undersized_dataset(seq):
+    # n < batch_size used to make the epoch loop yield NOTHING and next()
+    # block forever (silent 15-min hang in bench_train at B=24). Must
+    # fail loudly instead.
+    cfg = _cfg()
+    cfg.batch_size = 100
+    ds = SnippetDataset([seq.frames], [seq.k], cfg.frame_offsets)
+    with pytest.raises(ValueError, match="batch_size"):
+        next(batch_iterator(ds, cfg, seed=0))
+
+
 def test_exposure_jitter_scales_frames_only():
     # auto-exposure nuisance (LCC-in-regime ablation): per-frame gain on
     # RGB, deterministic in seed; geometry (depth/poses) untouched.
