@@ -154,6 +154,13 @@ class LossConfig:
     #   rpe_rot 0.27 vs 1.42 deg (runs/ablate/ABLATION.md). The cap was
     #   starving the geo term of high-frequency signal and quietly
     #   changing the trained objective (VERDICT r1 weak #3).
+    #   128 (round 4, 3-seed cell, −5.6 ms/step = 86.5 vs 92.1): same 2/3
+    #   strong-basin rate as uncapped with marginally better good seeds
+    #   (abs_rel 0.047/0.054 vs 0.056/0.058), but its bad seed fell to
+    #   0.52 — below the uncapped bad basin (0.35). Supported perf knob;
+    #   default stays uncapped until the tail is understood
+    #   (docs/ABLATION.md finding 7). Cap units are grid HEIGHT, i.e.
+    #   resolution-relative — these numbers are for the 256x320 config.
     geo_grad: str = "both"  # gradient protocol for the sampled depth:
     #   both — gradients flow through both the projected z and the sampled
     #     source depth (family/SC-Depth semantics; XLA gather + scatter-add
