@@ -65,7 +65,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-DEFAULT_TILE_H = 32
+# Output-tile height. Counter-intuitively SMALLER is faster on this
+# kernel (round-4 on-chip sweep, B=12 256x320x3 fwd+bwd via vjp, serial
+# chain: tile_h=8 -> 5.62 ms, 16 -> 6.73, 32 -> 7.75, 64 -> 9.96,
+# 128 -> 14.68): the row sweep's 4 (tile_h, 128) f32 carry accumulators
+# dominate vreg pressure, so the narrowest legal tile (one 8-row sublane
+# block) wins despite its longer relative source-row span. 8 is the
+# sublane minimum — this is the bottom of the curve, not a compromise.
+DEFAULT_TILE_H = 8
 LANES = 128  # tpu.dynamic_gather operates within one 128-lane vreg
 SPAN_GROUPS = 3  # max horizontal source span per 128-wide tile, in vregs
 

@@ -59,15 +59,22 @@ from colvo.kernels.sampler import (
     _to_planes,
 )
 
-DEFAULT_TILE_H = 32
+# Output-tile height. Opposite optimum to the sampler (which wants the
+# narrowest tile): the scatter's per-tile offset-class discovery
+# (min/max scans + class loop setup) amortizes over the tile, so WIDE
+# wins — round-4 on-chip sweep, B=12 256x320x1 fullgrad fwd+bwd, serial
+# chain: tile_h 8/16/32/64/128 → 26.9/17.1/11.0/8.4/9.7 ms.
+DEFAULT_TILE_H = 64
 LOCAL_W_MAX = 512  # max lanes covered by one local accumulation tile
 # Static caps on visited offset classes per tile (see cap note in-kernel).
 # Sized to stay EXACT for any physical warp: vertical spans reach
 # tile_h + local row-displacement spread (border clamp pileups + fast
-# motion ⇒ ~32+2*30), horizontal spans reach ~129 when a whole lane-tile
-# clamps onto one image column. Only diverged/garbage warps (spread over
-# the full image, spans ~288 x ~448) exceed them.
-V_CAP = 96
+# motion ⇒ ~64+2*30 = 124 at the default tile), horizontal spans reach
+# ~129 when a whole lane-tile clamps onto one image column. Only
+# diverged/garbage warps (spread over the full image, spans ~288 x ~448)
+# exceed them. Caps bound the worst case only — trip counts are
+# data-dependent, so raising V_CAP with the tile costs nothing typical.
+V_CAP = 128
 H_CAP = 160
 
 
