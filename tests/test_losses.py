@@ -522,6 +522,8 @@ def test_photo_native_config_conflicts_raise():
             snippet_loss(disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg)
 
 
+@pytest.mark.slow  # two extra snippet-loss grad compiles (~70 s on CPU);
+# the knob is off by default and the cheap rejection test below stays fast
 def test_compute_dtype_close_to_f32_and_grads_flow():
     """loss.compute_dtype casts the photometric planes downstream of the
     f32 gather (byte diet for the bandwidth-bound step); the loss must
