@@ -94,7 +94,7 @@ def batch_iterator(
     rng = np.random.default_rng(seed)
     n = len(dataset)
     bsz = cfg.batch_size
-    if n < bsz:
+    if n < bsz and (epochs is None or epochs > 0):
         # With fewer snippets than one batch the epoch loop below yields
         # NOTHING and next() blocks forever (measured: a silent 15-minute
         # hang when bench_train asked for B=24 from a 16-frame sequence).

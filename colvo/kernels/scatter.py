@@ -138,9 +138,11 @@ def _scatter_kernel(hw_true, hw_out_true, tile_h, local_w,
     # which crawls the device while the async dispatch loop keeps
     # queueing steps: device->host fetches then starve and training
     # wedges (observed: exposure-jitter cell, round 2). Classes beyond
-    # the caps are dropped — exact for any physical warp (caps are ~5x
-    # the worst measured span), garbage-gradient-only for diverged ones,
-    # and the loop's NaN guard is the backstop.
+    # the caps are dropped — exact for any physical warp (at the default
+    # 64-row tile the worst physical vertical span is ~tile_h + 2*30 =
+    # 124 vs V_CAP=128, a ~3% margin — see the header cap note; a future
+    # tile_h > 68 must raise V_CAP with it), garbage-gradient-only for
+    # diverged ones, and the loop's NaN guard is the backstop.
     n_vert = jnp.minimum(jnp.maximum(emax - emin + 1, 0), V_CAP)
     n_horz = jnp.minimum(jnp.maximum(dmax - dmin + 1, 0), H_CAP)
 

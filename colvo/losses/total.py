@@ -123,6 +123,15 @@ def snippet_loss(
             "loss.batched_photo stacks shape-identical full-res "
             "evaluations; incompatible with loss.photo_native"
         )
+    if loss_cfg.fused_kernel and loss_cfg.compute_dtype not in ("", "float32"):
+        # The fused K1 kernel computes every photometric plane in-kernel in
+        # f32; the compute_dtype diet would apply only to the identity/
+        # automask planes — a silent half-application (ADVICE r4).
+        raise ValueError(
+            "loss.compute_dtype is not supported with loss.fused_kernel "
+            "(the fused kernel's planes are f32 in VMEM; the knob would "
+            "apply only to identity/automask stacks)"
+        )
     chex.assert_rank(frames, 5)
     chex.assert_rank(poses, 3)
     chex.assert_axis_dimension(poses, -1, 6)

@@ -41,6 +41,13 @@ def make_optimizer(cfg: ColvoConfig, steps_per_epoch: int = 1000) -> optax.Gradi
         init_value=cfg.train.lr,
         boundaries_and_scales={decay_step: cfg.train.lr_decay_factor},
     )
+    if cfg.train.adam_mu_dtype not in ("", "float32", "bfloat16"):
+        # Mirror loss.compute_dtype's validation: 'bf16'/'float16' must not
+        # silently fall back to float32 (ADVICE r4).
+        raise ValueError(
+            "train.adam_mu_dtype must be ''|float32|bfloat16, "
+            f"got {cfg.train.adam_mu_dtype!r}"
+        )
     mu_dtype = jnp.bfloat16 if cfg.train.adam_mu_dtype == "bfloat16" else None
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip),

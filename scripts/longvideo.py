@@ -260,8 +260,10 @@ def render_report(out_dir: str) -> None:
 
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = dict(a.lstrip("-").split("=", 1) for a in sys.argv[1:]
-                 if a.startswith("--"))
+    # Valueless flags (bare `--cpu`) normalize to "1" — dict() over
+    # 1-element splits raises before the membership test (ADVICE r4).
+    flags = dict((a.lstrip("-").split("=", 1) + ["1"])[:2]
+                 for a in sys.argv[1:] if a.startswith("--"))
     n_frames = int(pos[0]) if len(pos) > 0 else 3000
     weights = pos[1] if len(pos) > 1 else "runs/ablate/dcdp1_lcc1/weights.npz"
     out_dir = pos[2] if len(pos) > 2 else "docs"

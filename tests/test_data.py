@@ -125,6 +125,9 @@ def test_batch_iterator_rejects_undersized_dataset(seq):
     ds = SnippetDataset([seq.frames], [seq.k], cfg.frame_offsets)
     with pytest.raises(ValueError, match="batch_size"):
         next(batch_iterator(ds, cfg, seed=0))
+    # epochs=0 is a legitimate empty-iterator sentinel: no epoch will run,
+    # so the undersized-dataset guard must not fire (ADVICE r4).
+    assert list(batch_iterator(ds, cfg, seed=0, epochs=0)) == []
 
 
 def test_exposure_jitter_scales_frames_only():

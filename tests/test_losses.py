@@ -575,3 +575,22 @@ def test_compute_dtype_invalid_raises():
             disps, poses, frames, k, jnp.linalg.inv(k),
             LossConfig(compute_dtype="float16"), mcfg,
         )
+    # fused_kernel + compute_dtype is a half-applied combination (the K1
+    # planes are f32 in VMEM) — must be rejected, not silently mixed
+    # (ADVICE r4).
+    with pytest.raises(ValueError, match="fused_kernel"):
+        snippet_loss(
+            disps, poses, frames, k, jnp.linalg.inv(k),
+            LossConfig(fused_kernel=True, compute_dtype="bfloat16"), mcfg,
+        )
+
+
+def test_adam_mu_dtype_invalid_raises():
+    # 'bf16' must not silently fall back to float32 (ADVICE r4).
+    from colvo.config import ColvoConfig
+    from colvo.runtime.train_step import make_optimizer
+
+    cfg = ColvoConfig()
+    cfg.train.adam_mu_dtype = "bf16"
+    with pytest.raises(ValueError, match="adam_mu_dtype"):
+        make_optimizer(cfg)
