@@ -100,7 +100,9 @@ class VideoFrameSource:
         cap = cv2.VideoCapture(path)
         if not cap.isOpened():
             raise FileNotFoundError(f"cannot open video {path}")
-        self._n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) // stride
+        count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        # ceil: iteration yields indices 0, stride, 2*stride, … < count
+        self._n = (count + stride - 1) // stride
         cap.release()
 
     def __len__(self) -> int:

