@@ -88,15 +88,21 @@ class LossConfig:
     #   False, non-TPU backends, or unsupported combos (lcc_mode="gain",
     #   ssim_alpha=0) use the composed sampler + XLA stats path. Identical
     #   math either way (parity pinned in tests/test_kernels.py).
-    batched_photo: bool = False  # stack all n_scales x n_sources full-res
+    batched_photo: bool = False  # group all n_scales x n_sources full-res
     #   warp+LCC+SSIM+L1 evaluations (shape-identical under the Monodepth2
-    #   upsample-to-full-res protocol) into ONE sampler call + ONE stats
-    #   pipeline. Identical math (tests/test_losses.py) — but measured
-    #   SLOWER on-chip (110.1 vs 90.3 ms/step with the multi-channel
-    #   sampler; 115.8 vs 95.0 with the round-1 plane sampler):
-    #   the jnp.tile/concat staging of sources+targets adds ~220 MB of
-    #   HBM traffic per step while the 8 per-pair fusion islands were
-    #   never launch-bound. Kept as a documented negative result.
+    #   upsample-to-full-res protocol) into ONE grouped sampler launch
+    #   (kernels.bilinear_sample_fast_grouped — source planes re-read via
+    #   the kernel's index_map, no tiled copies) + ONE vmapped stats
+    #   pipeline (target broadcast fused, never materialized). Identical
+    #   math (tests/test_losses.py) — and STILL measured slower on-chip,
+    #   twice: round 2's tile-staging version 110.1 vs 90.3 ms/step
+    #   (~220 MB of staging HBM traffic), round 5's zero-staging grouped
+    #   version 95.0 vs 82.3. With staging eliminated the residual is
+    #   scheduling: the 8 per-pair fusion islands interleave sampler
+    #   launches with stats fusions, while the grouped form serializes one
+    #   96-plane launch against one giant stats fusion. Kept as a
+    #   documented negative result; the grouped kernel itself is live
+    #   infrastructure (parity-pinned in tests/test_kernels.py).
     automask: bool = True  # identity-reprojection automasking (L3)
     min_reprojection: bool = True  # per-pixel min over source frames (L3)
     photo_native: bool = False  # evaluate the photometric term at each
@@ -180,6 +186,29 @@ class LossConfig:
     #   contract was violated and source-depth gradients were truncated.
     #   Debug-mode observability (ADVICE r2 medium); off by default —
     #   costs a few small reductions per geo warp.
+    # Depth<->pose gauge coupling (round-4 finding, docs/SCALE_DECOUPLING.md):
+    # on ~1/8 of seed-runs the pose head's translation gauge collapses
+    # ~100-200x below the depth gauge — rotation and median-scaled depth
+    # stay perfect, but polyp localization (the reference's clinical
+    # deliverable, /root/reference/README.md:9 — the ONE metric coupling
+    # the two gauges) blows up 30-50x. t→0 is a near-flat direction of the
+    # objective: the warp degrades to rotation-only, geo-consistency stays
+    # satisfied (projected z ≈ sampled depth at ≈identity flow), and
+    # automask eats the photometric residual. The fix is a RANGE prior on
+    # the gauge-invariant ratio r = mean||t|| / mean(depth): a squared
+    # log-hinge outside [gauge_lo, gauge_hi]. Measured on the round-4
+    # trained runs (scripts/gauge_probe.py): 5 healthy runs across
+    # clean/expjit/DCDP-on/off cells cluster at r ∈ [0.058, 0.106]; the
+    # three collapsed runs sit at r ∈ [0.0004, 0.0007] — two orders of
+    # magnitude below. The default band gives the healthy cluster ≥10x
+    # headroom on each side — a domain prior in the same spirit as
+    # min_depth/max_depth ("the camera moves a non-negligible fraction of
+    # the scene depth per frame"), zero value AND gradient everywhere
+    # inside the band. Re-trained validation: docs/GAUGE.md.
+    gauge_weight: float = 1.0  # 0 disables; the hinge is exactly zero for
+    #   any in-band model, so the weight only matters during escape
+    gauge_lo: float = 0.005  # lower r bound (collapse detector)
+    gauge_hi: float = 1.0  # upper r bound (runaway-translation guard)
     geo_stopgrad: bool = False  # True: stop-gradient the warped source
     #   depth (pseudo-label consistency) — enables the Pallas
     #   no-source-grad sampler on TPU instead of XLA gather + scatter-add

@@ -10,7 +10,11 @@ import jax
 import jax.numpy as jnp
 
 from colvo.geometry.ops import bilinear_sample as bilinear_sample_xla
-from colvo.kernels.sampler import bilinear_sample_pallas, LANES
+from colvo.kernels.sampler import (
+    LANES,
+    bilinear_sample_pallas,
+    bilinear_sample_pallas_grouped,
+)
 from colvo.kernels.scatter import bilinear_sample_fullgrad
 
 
@@ -33,6 +37,22 @@ def bilinear_sample_fast(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     if _on_tpu() and w >= LANES and h >= 8:
         return bilinear_sample_pallas(img, coords)
     return bilinear_sample_xla(img, coords)
+
+
+def bilinear_sample_fast_grouped(
+    img: jnp.ndarray, coords: jnp.ndarray, group: int
+) -> jnp.ndarray:
+    """``group`` coordinate fields per source plane in one sampler launch.
+
+    coords (B·group, h, w, 2) ordered scale-minor — plane ``i`` samples
+    ``img[i // group]``. Pallas on TPU; the XLA fallback repeats the
+    source along batch (identical math — parity in tests/test_kernels.py).
+    Gradients flow to ``coords`` only on the Pallas path.
+    """
+    h, w = img.shape[1], img.shape[2]
+    if _on_tpu() and w >= LANES and h >= 8:
+        return bilinear_sample_pallas_grouped(img, coords, group)
+    return bilinear_sample_xla(jnp.repeat(img, group, axis=0), coords)
 
 
 def warp_photometric_fast(
@@ -81,6 +101,7 @@ def bilinear_sample_full(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
 __all__ = [
     "bilinear_sample_fast",
+    "bilinear_sample_fast_grouped",
     "bilinear_sample_full",
     "bilinear_sample_fullgrad",
     "bilinear_sample_pallas",

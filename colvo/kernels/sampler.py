@@ -278,21 +278,30 @@ def _sample_grad_kernel_mc(hw_true, n_chan, src_ref, x_ref, y_ref,
         dy_ref[0, c] = dys[c]
 
 
-def _chan_call(src, x, y, tile_h, with_grads, hw_true):
-    """pallas_call over (batch, row-tile, col-tile) with (1, C, H, W)
-    source blocks — all channels of a frame in one grid cell."""
+def _chan_call(src, x, y, tile_h, with_grads, hw_true, group: int = 1):
+    """pallas_call over (plane, row-tile, col-tile) with (1, C, H, W)
+    source blocks — all channels of a frame in one grid cell.
+
+    ``group`` > 1 evaluates ``group`` coordinate fields per source frame
+    in ONE launch: coords plane ``i`` samples source plane ``i // group``
+    (the multi-scale photometric stack — same sources, per-scale warps).
+    Consecutive grid steps with an unchanged source block index skip the
+    HBM re-fetch, so ordering coords scale-minor keeps each source plane
+    VMEM-resident across its ``group`` warps."""
     b, c, h_src, w_src = src.shape
-    _, h_out, w_out = x.shape
-    grid = (b, pl.cdiv(h_out, tile_h), pl.cdiv(w_out, LANES))
+    n, h_out, w_out = x.shape  # n == b * group
+    grid = (n, pl.cdiv(h_out, tile_h), pl.cdiv(w_out, LANES))
     tile_spec = pl.BlockSpec((1, tile_h, LANES), lambda i, j, k: (i, j, k),
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, c, tile_h, LANES), lambda i, j, k: (i, 0, j, k),
                             memory_space=pltpu.VMEM)
-    out_sds = jax.ShapeDtypeStruct((b, c, h_out, w_out), jnp.float32)
+    out_sds = jax.ShapeDtypeStruct((n, c, h_out, w_out), jnp.float32)
+    src_map = (lambda i, j, k: (i // group, 0, 0, 0)) if group > 1 else (
+        lambda i, j, k: (i, 0, 0, 0))
     kwargs = dict(
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, c, h_src, w_src), lambda i, j, k: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, h_src, w_src), src_map,
                          memory_space=pltpu.VMEM),
             tile_spec,
             tile_spec,
@@ -435,3 +444,42 @@ def _bwd(tile_h, res, g):
 
 
 bilinear_sample_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def bilinear_sample_pallas_grouped(
+    img: jnp.ndarray,
+    coords: jnp.ndarray,
+    group: int,
+    tile_h: int = DEFAULT_TILE_H,
+) -> jnp.ndarray:
+    """Sample ``group`` coordinate fields per source frame in ONE launch.
+
+    img (B, H, W, C); coords (B·group, h, w, 2) ordered scale-minor:
+    coords plane ``i`` samples img plane ``i // group``. One pallas_call
+    replaces ``group`` separate launches, and each source plane is
+    fetched to VMEM once per ``group`` warps instead of once per warp —
+    the multi-scale photometric stack (loss.batched_photo) without the
+    round-2 implementation's tiled-source staging. Gradients flow to
+    ``coords`` only (same contract as ``bilinear_sample_pallas``).
+    """
+    planes, x, y, _ = _to_chan_planes(img, coords)
+    out = _chan_call(planes, x, y, tile_h, False, img.shape[1:3], group)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def _fwd_grouped(img, coords, group, tile_h):
+    planes, x, y, _ = _to_chan_planes(img, coords)
+    out, dx, dy = _chan_call(planes, x, y, tile_h, True, img.shape[1:3], group)
+    tr = lambda a: jnp.transpose(a, (0, 2, 3, 1))
+    return tr(out), (tr(dx), tr(dy), img)
+
+
+def _bwd_grouped(group, tile_h, res, g):
+    dx, dy, img = res
+    gx = jnp.sum(g * dx, axis=-1)
+    gy = jnp.sum(g * dy, axis=-1)
+    return jnp.zeros_like(img), jnp.stack([gx, gy], axis=-1)
+
+
+bilinear_sample_pallas_grouped.defvjp(_fwd_grouped, _bwd_grouped)

@@ -33,6 +33,7 @@ from colvo.geometry import (
 from colvo.geometry.ops import _valid_mask
 from colvo.kernels import (
     bilinear_sample_fast,
+    bilinear_sample_fast_grouped,
     bilinear_sample_full,
     warp_photometric_fast,
 )
@@ -122,6 +123,13 @@ def snippet_loss(
         raise ValueError(
             "loss.batched_photo stacks shape-identical full-res "
             "evaluations; incompatible with loss.photo_native"
+        )
+    if loss_cfg.fused_kernel and loss_cfg.batched_photo:
+        raise ValueError(
+            "loss.fused_kernel and loss.batched_photo are alternative "
+            "launch-reduction strategies for the same photometric path — "
+            "pick one (the batched path routes through the grouped "
+            "sampler, not K1)"
         )
     if loss_cfg.fused_kernel and loss_cfg.compute_dtype not in ("", "float32"):
         # The fused K1 kernel computes every photometric plane in-kernel in
@@ -287,24 +295,137 @@ def snippet_loss(
         return _stats_err(warped, tgt_f)
 
     if loss_cfg.batched_photo:
-        # (n_scales*S*B, H, W, …) stacks; sources vary fastest, matching
-        # frames_clean[:, 1:] layout after the flatten below.
-        pix_stack = jnp.concatenate(
-            [pix_all[sc][s] for sc in range(n_scales) for s in range(n_sources)]
-        )
+        # ONE grouped sampler launch for all n_scales × n_sources full-res
+        # warps. No tiled copies are staged (the round-2 implementation
+        # jnp.tile'd sources+target — ~220 MB/step of pure staging traffic
+        # that made the batch a measured loss): the kernel's source
+        # index_map re-reads each source plane from its original buffer
+        # (scale-minor coord order keeps it VMEM-resident across its
+        # n_scales warps), and the target enters the stats pipeline by
+        # vmap broadcast, fused into its consumers.
         src_one = jnp.concatenate(
             [frames_clean[:, s + 1] for s in range(n_sources)]
-        )  # (S*B, H, W, 3)
-        src_stack = jnp.tile(src_one, (n_scales, 1, 1, 1))
-        tgt_stack = jnp.tile(tgt_clean, (n_scales * n_sources, 1, 1, 1))
-        err_stack = photometric_of(src_stack, tgt_stack, pix_stack)
-        err_stack = err_stack.reshape(n_scales, n_sources, b, height, width)
+        )  # (S*B, H, W, 3); plane j = s*B + bi
+        pix_grp = jnp.stack(
+            [
+                jnp.concatenate(
+                    [pix_all[sc][s] for s in range(n_sources)]
+                )  # (S*B, H, W, 2)
+                for sc in range(n_scales)
+            ],
+            axis=1,
+        )  # (S*B, n_scales, H, W, 2) — scale-minor after the flatten
+        pix_flat = pix_grp.reshape(-1, height, width, 2)
+        warped = _c(bilinear_sample_fast_grouped(src_one, pix_flat, n_scales))
+        tgt_c = _c(tgt_clean)
+        wg = warped.reshape(n_sources, b, n_scales, height, width, 3)
+
+        if lcc_mode.startswith("global"):
+            vm = _valid_mask(pix_flat, height, width).reshape(
+                n_sources, b, n_scales, height, width
+            )
+            per_pair = lambda w1, v1: _stats_err(w1, tgt_c, v1)
+            err_g = jax.vmap(jax.vmap(per_pair, in_axes=(1, 1)),
+                             in_axes=(0, 0))(wg, vm)
+        else:
+            per_pair = lambda w1: _stats_err(w1, tgt_c)
+            err_g = jax.vmap(jax.vmap(per_pair, in_axes=1), in_axes=0)(wg)
         for sc in range(n_scales):
             for s in range(n_sources):
-                err_lookup[(sc, s)] = err_stack[sc, s]
+                err_lookup[(sc, s)] = err_g[s, sc]
 
     for scale in range(n_scales):
         disp_s = disps[0][scale]
+
+        def _geo_grid(s, scale=scale, disp_s=disp_s):
+            """Geo-constraint grid for one (scale, source):
+            (pix_g, z_g, src_depth_g, depth_g, h_g, w_g).
+
+            Protocol branches (family full-res / photo_native reuse /
+            native-scale with optional ``geo_res_cap`` pooling) as
+            documented on the config knobs; the native-scale default
+            evaluates the constraint on each scale's own grid — 4–64×
+            less warp work at scales 1–3 (the XLA-era full-res
+            gather+scatter measured 216 of 299 ms/step at 256×320).
+            """
+            t_mat = t_mats[:, s]
+            pix, z = pix_all[scale][s], z_all[scale][s]
+            if loss_cfg.geo_full_res:
+                # Family full-res protocol: everything upsampled to the
+                # input grid; reuse the photometric projection.
+                src_disp_full = _upsample_to(disps[s + 1][scale], height, width)
+                _, src_depth_g = disp_to_depth(
+                    src_disp_full[..., 0],
+                    model_cfg.min_depth,
+                    model_cfg.max_depth,
+                )
+                return pix, z, src_depth_g, None, height, width
+            if loss_cfg.photo_native and loss_cfg.geo_res_cap == 0:
+                # photo_native already projected on this exact grid (same
+                # disp, same rescaled K): reuse the projection pass.
+                h_g, w_g = pix.shape[1], pix.shape[2]
+                depth_g = depth_all[scale]
+                _, src_depth_g = disp_to_depth(
+                    disps[s + 1][scale][..., 0],
+                    model_cfg.min_depth,
+                    model_cfg.max_depth,
+                )
+                return pix, z, src_depth_g, depth_g, h_g, w_g
+            g_disp_t = disp_s
+            g_disp_s = disps[s + 1][scale]
+            if loss_cfg.geo_res_cap > 0:
+                while g_disp_t.shape[1] > loss_cfg.geo_res_cap:
+                    g_disp_t = _halve(g_disp_t)
+                    g_disp_s = _halve(g_disp_s)
+            h_g, w_g = g_disp_t.shape[1], g_disp_t.shape[2]
+            k_g = _scale_k(k, w_g / width, h_g / height)
+            _, depth_g = disp_to_depth(
+                g_disp_t[..., 0], model_cfg.min_depth, model_cfg.max_depth
+            )
+            _, src_depth_g = disp_to_depth(
+                g_disp_s[..., 0], model_cfg.min_depth, model_cfg.max_depth
+            )
+            pts_g = backproject(depth_g, jnp.linalg.inv(k_g))
+            pix_g, z_g = project(pts_g, k_g, t_mat)
+            return pix_g, z_g, src_depth_g, depth_g, h_g, w_g
+
+        # Batched geo sampling: at one scale the per-source depth warps are
+        # shape-identical, so they stack on the batch axis into ONE sampler
+        # launch (and one scatter-backward launch on the full-grad path)
+        # instead of n_sources separate ones. Exact: concat/split are each
+        # other's VJP transposes and both kernels operate per-plane.
+        geo_grids = None
+        geo_sampled = None
+        if loss_cfg.geometric_weight > 0 and loss_cfg.geo_grad == "both":
+            geo_grids = [_geo_grid(s) for s in range(n_sources)]
+            pix_stack_g = jnp.concatenate([g[0] for g in geo_grids])
+            dep_stack_g = jnp.concatenate([g[2] for g in geo_grids])[..., None]
+            if loss_cfg.geo_stopgrad:
+                # Pseudo-label consistency: no gradient into the warped
+                # source depth → the Pallas coords-grad sampler applies.
+                samp = bilinear_sample_fast(
+                    jax.lax.stop_gradient(dep_stack_g), pix_stack_g
+                )[..., 0]
+            else:
+                # Family/SC-Depth semantics: gradient through BOTH the
+                # projected z and the sampled source depth; the Pallas
+                # full-grad sampler (offset-class scatter backward)
+                # replaces XLA's serialized scatter-add on TPU.
+                samp = bilinear_sample_full(dep_stack_g, pix_stack_g)[..., 0]
+                if loss_cfg.scatter_audit:
+                    # Observability for the scatter kernel's static
+                    # offset-class caps: count classes it would drop
+                    # (0 = exact; ADVICE r2 medium).
+                    from colvo.kernels.scatter import scatter_cap_overflow
+
+                    ov = scatter_cap_overflow(
+                        jax.lax.stop_gradient(pix_stack_g),
+                        (geo_grids[0][4], geo_grids[0][5]),
+                    )
+                    aux["geo/scatter_overflow"] = (
+                        aux.get("geo/scatter_overflow", 0) + ov
+                    )
+            geo_sampled = jnp.split(samp, n_sources)
 
         warped_errors = []
         geo_losses = []
@@ -325,61 +446,9 @@ def snippet_loss(
                 err = photometric_of(frames_clean[:, s + 1], tgt_clean, pix)
 
             if loss_cfg.geometric_weight > 0:
-                if loss_cfg.geo_full_res:
-                    # Family full-res protocol: everything upsampled to the
-                    # input grid; reuse the photometric projection.
-                    src_disp_full = _upsample_to(
-                        disps[s + 1][scale], height, width
-                    )
-                    _, src_depth_g = disp_to_depth(
-                        src_disp_full[..., 0],
-                        model_cfg.min_depth,
-                        model_cfg.max_depth,
-                    )
-                    pix_g, z_g, h_g, w_g = pix, z, height, width
-                else:
-                    # Native-scale protocol: the constraint is scale-local,
-                    # so evaluate it on each scale's own grid — 4–64× less
-                    # warp work at scales 1–3. ``geo_res_cap`` additionally
-                    # halves the grid (2× mean-pool on disparity) until its
-                    # height fits the cap: the XLA depth-warp gather +
-                    # scatter-add backward is the single most expensive op
-                    # in the train step (measured 216 of 299 ms at B=12
-                    # 256×320, serial-chain protocol), and the consistency
-                    # field it constrains is low-frequency.
-                    if loss_cfg.photo_native and loss_cfg.geo_res_cap == 0:
-                        # photo_native already projected on this exact
-                        # grid (same disp, same rescaled K): reuse the
-                        # projection pass instead of recomputing it.
-                        h_g, w_g = ph, pw
-                        k_g = _scale_k(k, w_g / width, h_g / height)
-                        depth_g = depth_all[scale]
-                        _, src_depth_g = disp_to_depth(
-                            disps[s + 1][scale][..., 0],
-                            model_cfg.min_depth,
-                            model_cfg.max_depth,
-                        )
-                        pix_g, z_g = pix, z
-                    else:
-                        g_disp_t = disp_s
-                        g_disp_s = disps[s + 1][scale]
-                        if loss_cfg.geo_res_cap > 0:
-                            while g_disp_t.shape[1] > loss_cfg.geo_res_cap:
-                                g_disp_t = _halve(g_disp_t)
-                                g_disp_s = _halve(g_disp_s)
-                        h_g, w_g = g_disp_t.shape[1], g_disp_t.shape[2]
-                        k_g = _scale_k(k, w_g / width, h_g / height)
-                        _, depth_g = disp_to_depth(
-                            g_disp_t[..., 0], model_cfg.min_depth, model_cfg.max_depth
-                        )
-                        _, src_depth_g = disp_to_depth(
-                            g_disp_s[..., 0],
-                            model_cfg.min_depth,
-                            model_cfg.max_depth,
-                        )
-                        pts_g = backproject(depth_g, jnp.linalg.inv(k_g))
-                        pix_g, z_g = project(pts_g, k_g, t_mat)
                 if loss_cfg.geo_grad == "sym" and not loss_cfg.geo_full_res:
+                    pix_g, z_g, src_depth_g, depth_g, h_g, w_g = _geo_grid(s)
+                    k_g = _scale_k(k, w_g / width, h_g / height)
                     # Symmetric stop-gradient protocol: evaluate the
                     # constraint in BOTH warp directions, each sampling the
                     # other frame's depth under stop-gradient. Every depth
@@ -405,35 +474,12 @@ def snippet_loss(
                     g_loss_r, _ = geometry_consistency(
                         z_r, sampled_r, rvalid, behind=z_r <= 0
                     )
-                elif loss_cfg.geo_stopgrad:
-                    # Pseudo-label consistency: no gradient into the warped
-                    # source depth → the Pallas coords-grad sampler applies
-                    # (no XLA gather + scatter-add backward on TPU).
-                    sampled = bilinear_sample_fast(
-                        jax.lax.stop_gradient(src_depth_g)[..., None], pix_g
-                    )[..., 0]
-                    g_loss_r = None
                 else:
-                    # Family/SC-Depth semantics: gradient through BOTH the
-                    # projected z and the sampled source depth. The Pallas
-                    # full-grad sampler (offset-class scatter backward)
-                    # replaces XLA's serialized scatter-add on TPU.
-                    sampled = bilinear_sample_full(
-                        src_depth_g[..., None], pix_g
-                    )[..., 0]
+                    # geo_grad="both" (incl. geo_stopgrad): the warp was
+                    # evaluated in the per-scale batched call above.
+                    pix_g, z_g, src_depth_g, depth_g, h_g, w_g = geo_grids[s]
+                    sampled = geo_sampled[s]
                     g_loss_r = None
-                    if loss_cfg.scatter_audit:
-                        # Observability for the scatter kernel's static
-                        # offset-class caps: count classes it would drop
-                        # for this warp (0 = exact; ADVICE r2 medium).
-                        from colvo.kernels.scatter import scatter_cap_overflow
-
-                        ov = scatter_cap_overflow(
-                            jax.lax.stop_gradient(pix_g), (h_g, w_g)
-                        )
-                        aux["geo/scatter_overflow"] = (
-                            aux.get("geo/scatter_overflow", 0) + ov
-                        )
                 # In-bounds pixels only in the mask; behind-camera (z≤0)
                 # pixels stay IN and score diff=1 — dropping them creates
                 # a degenerate all-invalid minimum the uncapped geo
@@ -496,6 +542,28 @@ def snippet_loss(
         + loss_cfg.smoothness_weight * smooth_total
         + loss_cfg.geometric_weight * geo_total
     )
+
+    # Depth<->pose gauge coupling (docs/SCALE_DECOUPLING.md; config.py
+    # loss.gauge_* note): squared log-hinge keeping the gauge-invariant
+    # ratio r = mean||t|| / mean(depth) inside [gauge_lo, gauge_hi].
+    # Exactly zero (value AND gradient) for any in-band model; catches the
+    # translation-gauge collapse (r falls ~100x below the healthy band)
+    # that silently breaks polyp localization on ~1/8 of seeds.
+    if loss_cfg.gauge_weight > 0:
+        t_mag = jnp.mean(
+            jnp.linalg.norm(poses[..., 3:].astype(jnp.float32), axis=-1)
+        )
+        d_mean = jnp.mean(full_depth.astype(jnp.float32))
+        log_r = jnp.log(t_mag + 1e-12) - jnp.log(d_mean + 1e-12)
+        lo = jnp.log(loss_cfg.gauge_lo)
+        hi = jnp.log(loss_cfg.gauge_hi)
+        gauge = (
+            jnp.square(jnp.maximum(lo - log_r, 0.0))
+            + jnp.square(jnp.maximum(log_r - hi, 0.0))
+        )
+        total = total + loss_cfg.gauge_weight * gauge
+        aux["loss/gauge"] = gauge
+        aux["gauge/r"] = jnp.exp(log_r)
     aux["loss/photometric"] = photo_total
     aux["loss/smoothness"] = smooth_total
     aux["loss/geometric"] = geo_total

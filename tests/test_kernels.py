@@ -34,6 +34,32 @@ def test_sampler_interpret_parity(h, w, c):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_sampler_grouped_interpret_parity():
+    """Grouped sampler (one launch, coords plane i → source i // group)
+    == per-plane sampler, forward AND coords gradient."""
+    from colvo.kernels.sampler import bilinear_sample_pallas_grouped
+
+    rng = np.random.default_rng(4)
+    b, h, w, c, group = 2, 32, 128, 3, 3
+    img = jnp.asarray(rng.random((b, h, w, c), dtype=np.float32))
+    coords = vo_like_coords(b * group, h, w) + 0.3  # off cell boundaries
+    ref = bilinear_sample(jnp.repeat(img, group, axis=0), coords)
+    with pltpu.force_tpu_interpret_mode():
+        out = bilinear_sample_pallas_grouped(img, coords, group)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss_ref(crd):
+        return jnp.sum(jnp.cos(bilinear_sample(jnp.repeat(img, group, 0), crd)))
+
+    def loss_grp(crd):
+        return jnp.sum(jnp.cos(bilinear_sample_pallas_grouped(img, crd, group)))
+
+    g_ref = jax.grad(loss_ref)(coords)
+    with pltpu.force_tpu_interpret_mode():
+        g_grp = jax.grad(loss_grp)(coords)
+    np.testing.assert_allclose(np.asarray(g_grp), np.asarray(g_ref), atol=1e-4)
+
+
 def test_sampler_interpret_parity_oob():
     """Out-of-bounds coords must clamp exactly like the fallback."""
     rng = np.random.default_rng(2)
@@ -71,7 +97,9 @@ def test_scatter_fullgrad_interpret_parity():
     from colvo.kernels.scatter import bilinear_sample_fullgrad
 
     rng = np.random.default_rng(5)
-    for h, w, c, scale in [(32, 128, 1, 2.0), (40, 80, 1, 1.5), (32, 40, 2, 2.0)]:
+    # two fast cases: wide plane + multi-channel narrow; the odd-size
+    # middle case interprets in the slow sibling (fast-loop budget)
+    for h, w, c, scale in [(32, 128, 1, 2.0), (32, 40, 2, 2.0)]:
         img = jnp.asarray(rng.random((2, h, w, c), dtype=np.float32))
         coords = vo_like_coords(2, h, w, seed=int(h + w), scale=scale) + 0.3
 
@@ -87,6 +115,30 @@ def test_scatter_fullgrad_interpret_parity():
         np.testing.assert_allclose(float(pal_v), float(ref_v), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(pal_di), np.asarray(ref_di), atol=2e-5)
         np.testing.assert_allclose(np.asarray(pal_dc), np.asarray(ref_dc), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_scatter_fullgrad_interpret_parity_odd_size():
+    """Odd-sized plane (40x80) — lane padding + partial tiles."""
+    from colvo.kernels.scatter import bilinear_sample_fullgrad
+
+    rng = np.random.default_rng(5)
+    h, w = 40, 80
+    img = jnp.asarray(rng.random((2, h, w, 1), dtype=np.float32))
+    coords = vo_like_coords(2, h, w, seed=int(h + w), scale=1.5) + 0.3
+
+    def loss_ref(im, crd):
+        return jnp.sum(jnp.cos(3 * bilinear_sample(im, crd)))
+
+    def loss_pal(im, crd):
+        return jnp.sum(jnp.cos(3 * bilinear_sample_fullgrad(im, crd)))
+
+    ref_v, (ref_di, ref_dc) = jax.value_and_grad(loss_ref, argnums=(0, 1))(img, coords)
+    with pltpu.force_tpu_interpret_mode():
+        pal_v, (pal_di, pal_dc) = jax.value_and_grad(loss_pal, argnums=(0, 1))(img, coords)
+    np.testing.assert_allclose(float(pal_v), float(ref_v), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pal_di), np.asarray(ref_di), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pal_dc), np.asarray(ref_dc), atol=2e-5)
 
 
 def test_scatter_fullgrad_interpret_parity_oob():
@@ -130,10 +182,13 @@ def test_fused_loss_interpret_parity(lcc_window):
         return photometric_error(warped, tgt, 0.85)
 
     rng = np.random.default_rng(3)
-    h, w, c = 64, 128, 3
-    src = jnp.asarray(rng.random((2, h, w, c), dtype=np.float32))
-    tgt = jnp.asarray(rng.random((2, h, w, c), dtype=np.float32))
-    coords = vo_like_coords(2, h, w, seed=8, scale=2.0) + 0.3
+    # B=1, C=2 halves the interpreted plane count vs (2, ..., 3) with the
+    # same structure coverage (multi-channel averaging + per-plane VJP);
+    # fast-loop budget, VERDICT r4 next #8
+    h, w, c = 64, 128, 2
+    src = jnp.asarray(rng.random((1, h, w, c), dtype=np.float32))
+    tgt = jnp.asarray(rng.random((1, h, w, c), dtype=np.float32))
+    coords = vo_like_coords(1, h, w, seed=8, scale=2.0) + 0.3
 
     def lr(crd):
         return jnp.sum(jnp.cos(4 * xla_ref(src, tgt, crd)))

@@ -353,18 +353,31 @@ def test_snippet_loss_finite_and_grads_flow():
 
 
 def test_snippet_loss_ablations_run():
+    # fast loop: one representative per knob family — everything-off,
+    # the production default (covered by other fast tests implicitly but
+    # cheap here), and the family full-res geo contract. The remaining
+    # mixed modes run in the slow sibling (fast-loop budget, VERDICT r4
+    # next #8).
     model, params, frames, k, mcfg = _setup_snippet(32, 32, n_scales=2)
     disps, poses = model.apply(params, frames)
     for lcfg in [
         LossConfig(lcc=False, geometric_weight=0.0, automask=False),
+        LossConfig(geo_full_res=True, geo_stopgrad=False),
+        LossConfig(geo_full_res=False, geo_stopgrad=False),
+    ]:
+        loss, _ = snippet_loss(disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg)
+        assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_snippet_loss_ablations_run_mixed_modes():
+    model, params, frames, k, mcfg = _setup_snippet(32, 32, n_scales=2)
+    disps, poses = model.apply(params, frames)
+    for lcfg in [
         LossConfig(lcc_mode="gain"),
         LossConfig(automask=False, min_reprojection=True),
         LossConfig(automask=False, min_reprojection=False),
-        # geometric-consistency protocol matrix (TPU-fast default vs the
-        # family full-res/full-grad contract and the mixed modes)
-        LossConfig(geo_full_res=True, geo_stopgrad=False),
         LossConfig(geo_full_res=True, geo_stopgrad=True),
-        LossConfig(geo_full_res=False, geo_stopgrad=False),
     ]:
         loss, _ = snippet_loss(disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg)
         assert np.isfinite(float(loss))
@@ -421,13 +434,13 @@ def test_geo_full_res_grads_flow():
     assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
 
 
-def test_batched_photo_equals_per_pair_loop():
-    """loss.batched_photo stacks the n_scales x n_sources photometric
-    evaluations into one sampler+stats call; it must be the per-pair
-    loop's math exactly (same loss AND same grads). Grads are taken
-    w.r.t. (disps, poses) — the loss inputs — which pins the same VJP
-    equivalence while keeping the conv model out of all SIX compiled
-    graphs (fast-loop budget); see _rand_disps_poses."""
+def _check_batched_photo(extras):
+    """loss.batched_photo groups the n_scales x n_sources photometric
+    evaluations into one sampler call + one vmapped stats pipeline; it
+    must be the per-pair loop's math exactly (same loss AND same grads).
+    Grads are taken w.r.t. (disps, poses) — the loss inputs — which pins
+    the same VJP equivalence while keeping the conv model out of the
+    compiled graphs (fast-loop budget); see _rand_disps_poses."""
     _, _, frames, k, mcfg = _setup_snippet(n_scales=2)
     disps, poses = _rand_disps_poses(mcfg, frames)
 
@@ -437,7 +450,7 @@ def test_batched_photo_equals_per_pair_loop():
         )
         return loss
 
-    for extra in [{}, {"lcc": False}, {"automask": False}]:
+    for extra in extras:
         l_b, g_b = jax.value_and_grad(
             lambda dp: loss_fn(dp, LossConfig(batched_photo=True, **extra))
         )((disps, poses))
@@ -449,6 +462,18 @@ def test_batched_photo_equals_per_pair_loop():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-7
             )
+
+
+def test_batched_photo_equals_per_pair_loop():
+    # fast loop: the two production configs — default windowed LCC and the
+    # global-mode path (per-plane valid masks through the vmapped stats)
+    _check_batched_photo([{}, {"lcc_mode": "global+affine"}])
+
+
+@pytest.mark.slow
+def test_batched_photo_equals_per_pair_loop_toggles():
+    # rarer toggles (fast-loop budget, VERDICT r4 next #8)
+    _check_batched_photo([{"lcc": False}, {"automask": False}])
 
 
 @pytest.mark.slow
@@ -583,6 +608,49 @@ def test_compute_dtype_invalid_raises():
             disps, poses, frames, k, jnp.linalg.inv(k),
             LossConfig(fused_kernel=True, compute_dtype="bfloat16"), mcfg,
         )
+
+
+def test_gauge_coupling_hinge():
+    """Gauge-range prior (loss.gauge_*): exactly zero value+gradient for an
+    in-band translation/depth ratio; positive with a restoring gradient on
+    the pose translations when the ratio collapses below gauge_lo (the
+    scale-decoupling failure, docs/SCALE_DECOUPLING.md)."""
+    _, _, frames, k, mcfg = _setup_snippet(32, 32, n_scales=2)
+    disps, poses = _rand_disps_poses(mcfg, frames)
+    lcfg = LossConfig(gauge_weight=1.0, gauge_lo=0.005, gauge_hi=1.0)
+
+    def gauge_of(p):
+        loss, aux = snippet_loss(
+            disps, p, frames, k, jnp.linalg.inv(k), lcfg, mcfg
+        )
+        return aux["loss/gauge"], aux["gauge/r"]
+
+    def loss_of(p):
+        return snippet_loss(
+            disps, p, frames, k, jnp.linalg.inv(k), lcfg, mcfg
+        )[0]
+
+    # in-band: scale translations so r sits mid-band; hinge must be 0 and
+    # contribute exactly nothing to the pose gradient
+    _, r0 = gauge_of(poses)
+    mid = poses.at[..., 3:].mul(0.07 / float(r0))
+    g_mid, r_mid = gauge_of(mid)
+    assert 0.005 < float(r_mid) < 1.0
+    assert float(g_mid) == 0.0
+    lcfg_off = LossConfig(gauge_weight=0.0)
+    base = snippet_loss(disps, mid, frames, k, jnp.linalg.inv(k),
+                        lcfg_off, mcfg)[0]
+    np.testing.assert_allclose(float(loss_of(mid)), float(base), rtol=1e-7)
+
+    # collapsed: 100x below the band → positive hinge, gradient pushes the
+    # translation magnitude UP (negative inner product with t)
+    tiny = poses.at[..., 3:].mul(0.07 / float(r0) / 1e4)
+    g_tiny, r_tiny = gauge_of(tiny)
+    assert float(r_tiny) < 0.005 / 50
+    assert float(g_tiny) > 1.0
+    grad = jax.grad(loss_of)(tiny)
+    t, gt = np.asarray(tiny[..., 3:]), np.asarray(grad[..., 3:])
+    assert float((t * gt).sum()) < 0  # restoring: increase ||t||
 
 
 def test_adam_mu_dtype_invalid_raises():
