@@ -1,0 +1,52 @@
+"""Validate the depth<->pose gauge-coupling prior by re-training.
+
+Round 4 measured translation-gauge collapse (~100-200x, polyp-e 5-10) on
+3 of 24 ablation seed-runs: expjit_dcdp1_lccG seeds 7+1234 and dcdp0_lcc0
+seed 1234 (docs/SCALE_DECOUPLING.md). With loss.gauge_* now defaulting ON
+(config.py), this re-trains exactly those cells at all three protocol
+seeds, plus the flagship dcdp1_lcc1 (which must not regress), into
+runs/gauge — same 4000-step protocol, same held-out eval as the ablation
+grid (scripts/ablate.py).
+
+Pass/fail (VERDICT r4 next #2): 0/6 collapses on the two historically-
+collapsing cells (polyp e_mean <= 0.3 per seed), flagship metrics within
+the round-4 distribution.
+
+Usage: python scripts/gauge_validate.py [steps] [out_root]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+from ablate import SEEDS, aggregate, run_cell  # noqa: E402
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    out_root = sys.argv[2] if len(sys.argv) > 2 else "runs/gauge"
+    os.makedirs(out_root, exist_ok=True)
+
+    cells = []
+    for seed in SEEDS:
+        cells.append(dict(dcdp=True, lcc=True, seed=seed, exp_jitter=0.35,
+                          lcc_mode="global+affine", name="expjit_dcdp1_lccG"))
+    for seed in SEEDS:
+        cells.append(dict(dcdp=False, lcc=False, seed=seed))
+    for seed in SEEDS:
+        cells.append(dict(dcdp=True, lcc=True, seed=seed))
+
+    for c in cells:
+        run_cell(steps=steps, out_root=out_root, **c)
+        aggregate(out_root, steps)
+
+
+if __name__ == "__main__":
+    main()
