@@ -78,6 +78,12 @@ class LossConfig:
     ssim_alpha: float = 0.85  # α·(1−SSIM)/2 + (1−α)·L1
     smoothness_weight: float = 1e-3
     geometric_weight: float = 0.1  # DCDP cross-frame consistency (L5)
+    geo_ramp_steps: int = 0  # linearly ramp the geo term's weight from 0
+    #   over the first N steps (basin-robustness lever, VERDICT r4 next
+    #   #4: the geo gradient on random-init depth is the loudest early
+    #   signal and a candidate driver of the mediocre basin); 0 = off.
+    #   Ramps only the loss-term weight — the DCDP occlusion coupling
+    #   (err * g_weight) stays structural from step 0.
     lcc: bool = True  # light-consistent calibration (L1, README.md:7)
     lcc_mode: str = "affine"  # affine | gain | off | global |
     #   global+affine | global+gain — global* modes prepend a per-frame
@@ -223,6 +229,8 @@ class TrainConfig:
 
     lr: float = 1e-4
     lr_decay_epochs: int = 15  # step decay ×0.1 after this epoch (family std)
+    warmup_steps: int = 0  # linear LR warmup from 0 (basin-robustness
+    #   lever, VERDICT r4 next #4); 0 = off (the family protocol)
     lr_decay_factor: float = 0.1
     epochs: int = 20
     seed: int = 42

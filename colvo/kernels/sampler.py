@@ -261,17 +261,249 @@ def _gather_block_mc(hw_true, src_ref, x, y, n_chan, with_grads=True):
     return [ht[c] + wy * (hb[c] - ht[c]) for c in range(C)], None, None
 
 
+def _gather_block_mc_cls(hw_true, src_ref, x, y, n_chan, with_grads=True):
+    """Offset-class variant of ``_gather_block_mc``: sweep row-offset
+    CLASSES, not rows.
+
+    The row sweep pays 8 statically-unrolled rows per touched source
+    block, but a smooth VO warp's vertical offset c = y0 − (block row)
+    spans only 2–4 distinct values within an (8, 128) tile — most of the
+    unrolled rows contribute nothing while still paying their gathers.
+    This walks the same 8-row-aligned blocks and, inside each, runs a
+    DYNAMIC fori_loop over the live class range [dlo, dhi] only: one
+    sublane roll per (group, channel) aligns source row r0+i+d with
+    output row i (non-negative canonicalized shift — negative dynamic
+    rotates miscompile, see colvo.kernels.scatter), then the usual two
+    lane gathers + masked accumulate. Exact for ALL inputs (classes are
+    bounded by construction to [-7, 7] ⇒ ≤ 15 iterations even for
+    garbage warps, vs 8 for the row sweep); measured on chip vs the row
+    sweep at the production warp shapes before becoming the default
+    (COLVO_SAMPLER_SWEEP=rows restores the old path).
+    """
+    h_true, w_true = hw_true
+    w_src = src_ref.shape[3]
+    tile_h = x.shape[0]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w_true - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w_true - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h_true - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h_true - 1)
+
+    rmin = jnp.min(y0)
+    rmax = jnp.max(y1)
+    cbase = (jnp.min(x0) // LANES) * LANES
+    gidx0 = (x0 - cbase) // LANES
+    gidx1 = (x1 - cbase) // LANES
+    SUB = 8
+    C = n_chan
+    i_row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, LANES), 0)
+    BIG = jnp.int32(1 << 20)
+
+    # group-shared lane indices/masks (class- and row-independent)
+    locs, msks = [], []
+    for g in range(SPAN_GROUPS):
+        base = jnp.clip(cbase + g * LANES, 0, max(w_src - LANES, 0))
+        locs.append((jnp.clip(x0 - base, 0, LANES - 1),
+                     jnp.clip(x1 - base, 0, LANES - 1)))
+        msks.append((gidx0 == g, gidx1 == g))
+
+    def block_body(rb, carry):
+        r0 = pl.multiple_of(rb * SUB, SUB)
+        segs = []  # [group][channel]: one aligned (SUB, LANES) load each
+        for g in range(SPAN_GROUPS):
+            base = jnp.clip(cbase + g * LANES, 0, max(w_src - LANES, 0))
+            base = pl.multiple_of(base, LANES)
+            segs.append([src_ref[0, c, pl.ds(r0, SUB), pl.ds(base, LANES)]
+                         for c in range(C)])
+        # live offset classes of this block: c = y − r0 − i for the top
+        # (y0) and bottom (y1) source rows, counted only where the row
+        # actually falls inside [r0, r0+8)
+        c0 = y0 - r0 - i_row
+        c1 = y1 - r0 - i_row
+        in0 = (y0 >= r0) & (y0 < r0 + SUB)
+        in1 = (y1 >= r0) & (y1 < r0 + SUB)
+        dlo = jnp.minimum(jnp.min(jnp.where(in0, c0, BIG)),
+                          jnp.min(jnp.where(in1, c1, BIG)))
+        dhi = jnp.maximum(jnp.max(jnp.where(in0, c0, -BIG)),
+                          jnp.max(jnp.where(in1, c1, -BIG)))
+
+        def cls_body(d, carry):
+            shift = (-d) % SUB  # roll: out[i] = seg[(i + d) mod 8]
+            m0 = in0 & (c0 == d)
+            m1 = in1 & (c1 == d)
+            g0 = [jnp.zeros((tile_h, LANES), jnp.float32) for _ in range(C)]
+            g1 = [jnp.zeros((tile_h, LANES), jnp.float32) for _ in range(C)]
+            for g in range(SPAN_GROUPS):
+                loc0, loc1 = locs[g]
+                gm0, gm1 = msks[g]
+                for c in range(C):
+                    rolled = pltpu.roll(segs[g][c], shift, axis=0)
+                    v0 = jnp.take_along_axis(rolled, loc0, axis=1)
+                    v1 = jnp.take_along_axis(rolled, loc1, axis=1)
+                    g0[c] = g0[c] + jnp.where(gm0, v0, 0.0)
+                    g1[c] = g1[c] + jnp.where(gm1, v1, 0.0)
+            if with_grads:
+                ht, hb, dt, db = carry
+                hv = [g0[c] + wx * (g1[c] - g0[c]) for c in range(C)]
+                ht = tuple(ht[c] + jnp.where(m0, hv[c], 0.0) for c in range(C))
+                hb = tuple(hb[c] + jnp.where(m1, hv[c], 0.0) for c in range(C))
+                dt = tuple(dt[c] + jnp.where(m0, g1[c] - g0[c], 0.0)
+                           for c in range(C))
+                db = tuple(db[c] + jnp.where(m1, g1[c] - g0[c], 0.0)
+                           for c in range(C))
+                return (ht, hb, dt, db)
+            ht, hb = carry
+            hv = [g0[c] + wx * (g1[c] - g0[c]) for c in range(C)]
+            ht = tuple(ht[c] + jnp.where(m0, hv[c], 0.0) for c in range(C))
+            hb = tuple(hb[c] + jnp.where(m1, hv[c], 0.0) for c in range(C))
+            return (ht, hb)
+
+        return jax.lax.fori_loop(dlo, dhi + 1, cls_body, carry)
+
+    zeros = tuple(jnp.zeros((tile_h, LANES), jnp.float32) for _ in range(C))
+    init = (zeros,) * (4 if with_grads else 2)
+    acc = jax.lax.fori_loop(rmin // SUB, rmax // SUB + 1, block_body, init)
+    if with_grads:
+        ht, hb, dt, db = acc
+        outs = [ht[c] + wy * (hb[c] - ht[c]) for c in range(C)]
+        dxs = [dt[c] + wy * (db[c] - dt[c]) for c in range(C)]
+        dys = [hb[c] - ht[c] for c in range(C)]
+        return outs, dxs, dys
+    ht, hb = acc
+    return [ht[c] + wy * (hb[c] - ht[c]) for c in range(C)], None, None
+
+
+def _gather_block_cls(hw_true, src_ref, x, y, with_grads: bool = True):
+    """Offset-class sweep for the single-plane gather (see
+    ``_gather_block_mc_cls``): src_ref is a (1, H_pad, W_pad) plane ref.
+    Serves ``_plane_call`` (the full-gradient geo sampler's forward,
+    colvo.kernels.scatter) and the fused loss kernel's in-tile warps."""
+    h_true, w_true = hw_true
+    w_src = src_ref.shape[2]
+    tile_h = x.shape[0]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w_true - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w_true - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h_true - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h_true - 1)
+
+    rmin = jnp.min(y0)
+    rmax = jnp.max(y1)
+    cbase = (jnp.min(x0) // LANES) * LANES
+    gidx0 = (x0 - cbase) // LANES
+    gidx1 = (x1 - cbase) // LANES
+    SUB = 8
+    i_row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    BIG = jnp.int32(1 << 20)
+
+    locs, msks = [], []
+    for g in range(SPAN_GROUPS):
+        base = jnp.clip(cbase + g * LANES, 0, max(w_src - LANES, 0))
+        locs.append((jnp.clip(x0 - base, 0, LANES - 1),
+                     jnp.clip(x1 - base, 0, LANES - 1)))
+        msks.append((gidx0 == g, gidx1 == g))
+
+    def block_body(rb, carry):
+        r0 = pl.multiple_of(rb * SUB, SUB)
+        segs = []
+        for g in range(SPAN_GROUPS):
+            base = jnp.clip(cbase + g * LANES, 0, max(w_src - LANES, 0))
+            base = pl.multiple_of(base, LANES)
+            segs.append(src_ref[0, pl.ds(r0, SUB), pl.ds(base, LANES)])
+        c0 = y0 - r0 - i_row
+        c1 = y1 - r0 - i_row
+        in0 = (y0 >= r0) & (y0 < r0 + SUB)
+        in1 = (y1 >= r0) & (y1 < r0 + SUB)
+        dlo = jnp.minimum(jnp.min(jnp.where(in0, c0, BIG)),
+                          jnp.min(jnp.where(in1, c1, BIG)))
+        dhi = jnp.maximum(jnp.max(jnp.where(in0, c0, -BIG)),
+                          jnp.max(jnp.where(in1, c1, -BIG)))
+
+        def cls_body(d, carry):
+            shift = (-d) % SUB
+            m0 = in0 & (c0 == d)
+            m1 = in1 & (c1 == d)
+            g0 = jnp.zeros(x.shape, jnp.float32)
+            g1 = jnp.zeros(x.shape, jnp.float32)
+            for g in range(SPAN_GROUPS):
+                loc0, loc1 = locs[g]
+                gm0, gm1 = msks[g]
+                rolled = pltpu.roll(segs[g], shift, axis=0)
+                v0 = jnp.take_along_axis(rolled, loc0, axis=1)
+                v1 = jnp.take_along_axis(rolled, loc1, axis=1)
+                g0 = g0 + jnp.where(gm0, v0, 0.0)
+                g1 = g1 + jnp.where(gm1, v1, 0.0)
+            hval = g0 + wx * (g1 - g0)
+            if with_grads:
+                ht, hb, dt, db = carry
+                dval = g1 - g0
+                return (
+                    ht + jnp.where(m0, hval, 0.0),
+                    hb + jnp.where(m1, hval, 0.0),
+                    dt + jnp.where(m0, dval, 0.0),
+                    db + jnp.where(m1, dval, 0.0),
+                )
+            ht, hb = carry
+            return (
+                ht + jnp.where(m0, hval, 0.0),
+                hb + jnp.where(m1, hval, 0.0),
+            )
+
+        return jax.lax.fori_loop(dlo, dhi + 1, cls_body, carry)
+
+    zeros = jnp.zeros(x.shape, jnp.float32)
+    init = (zeros,) * (4 if with_grads else 2)
+    acc = jax.lax.fori_loop(rmin // SUB, rmax // SUB + 1, block_body, init)
+    if with_grads:
+        ht, hb, dt, db = acc
+        out = ht + wy * (hb - ht)
+        dx = dt + wy * (db - dt)
+        dy = hb - ht
+        return out, dx, dy
+    ht, hb = acc
+    return ht + wy * (hb - ht), None, None
+
+
+# Which inner sweep the kernels use: "classes" (offset-class roll sweep,
+# the measured default) or "rows" (the round-1..4 row sweep, kept for A/B
+# and as the fallback if a toolchain regresses on dynamic rolls). Read
+# once at import; set COLVO_SAMPLER_SWEEP to override.
+import os as _os
+
+SWEEP_MODE = _os.environ.get("COLVO_SAMPLER_SWEEP", "classes")
+
+
+def _gather_mc(hw_true, src_ref, x, y, n_chan, with_grads=True):
+    # the roll trick aligns an (8, LANES) source block with an 8-row
+    # coord tile 1:1 — other tile heights keep the row sweep
+    if SWEEP_MODE == "rows" or x.shape[0] != 8:
+        return _gather_block_mc(hw_true, src_ref, x, y, n_chan, with_grads)
+    return _gather_block_mc_cls(hw_true, src_ref, x, y, n_chan, with_grads)
+
+
+def _gather(hw_true, src_ref, x, y, with_grads=True):
+    if SWEEP_MODE == "rows" or x.shape[0] != 8:
+        return _gather_block(hw_true, src_ref, x, y, with_grads)
+    return _gather_block_cls(hw_true, src_ref, x, y, with_grads)
+
+
 def _sample_kernel_mc(hw_true, n_chan, src_ref, x_ref, y_ref, out_ref):
-    outs, _, _ = _gather_block_mc(hw_true, src_ref, x_ref[0], y_ref[0],
-                                  n_chan, with_grads=False)
+    outs, _, _ = _gather_mc(hw_true, src_ref, x_ref[0], y_ref[0],
+                            n_chan, with_grads=False)
     for c in range(n_chan):
         out_ref[0, c] = outs[c]
 
 
 def _sample_grad_kernel_mc(hw_true, n_chan, src_ref, x_ref, y_ref,
                            out_ref, dx_ref, dy_ref):
-    outs, dxs, dys = _gather_block_mc(hw_true, src_ref, x_ref[0], y_ref[0],
-                                      n_chan, with_grads=True)
+    outs, dxs, dys = _gather_mc(hw_true, src_ref, x_ref[0], y_ref[0],
+                                n_chan, with_grads=True)
     for c in range(n_chan):
         out_ref[0, c] = outs[c]
         dx_ref[0, c] = dxs[c]
@@ -321,13 +553,13 @@ def _chan_call(src, x, y, tile_h, with_grads, hw_true, group: int = 1):
 
 
 def _sample_kernel(hw_true, src_ref, x_ref, y_ref, out_ref):
-    out, _, _ = _gather_block(hw_true, src_ref, x_ref[0], y_ref[0],
-                              with_grads=False)
+    out, _, _ = _gather(hw_true, src_ref, x_ref[0], y_ref[0],
+                        with_grads=False)
     out_ref[0] = out
 
 
 def _sample_grad_kernel(hw_true, src_ref, x_ref, y_ref, out_ref, dx_ref, dy_ref):
-    out, dx, dy = _gather_block(hw_true, src_ref, x_ref[0], y_ref[0])
+    out, dx, dy = _gather(hw_true, src_ref, x_ref[0], y_ref[0])
     out_ref[0] = out
     dx_ref[0] = dx
     dy_ref[0] = dy

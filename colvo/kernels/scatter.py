@@ -65,6 +65,13 @@ from colvo.kernels.sampler import (
 # wins — round-4 on-chip sweep, B=12 256x320x1 fullgrad fwd+bwd, serial
 # chain: tile_h 8/16/32/64/128 → 26.9/17.1/11.0/8.4/9.7 ms.
 DEFAULT_TILE_H = 64
+# Forward-gather tile, decoupled from the scatter tile above (round 5):
+# the round-4 64-row optimum was measured with fwd+bwd SHARING tile_h;
+# the gather side independently wants the narrowest legal tile (sampler
+# sweep: 8 → 5.62 ms vs 64 → 9.96 at the photo shape) and the round-5
+# offset-class sweep only engages at 8 rows. The scatter backward keeps
+# its own wide tile (class-discovery amortization).
+FWD_TILE_H = 8
 LOCAL_W_MAX = 512  # max lanes covered by one local accumulation tile
 # Static caps on visited offset classes per tile (see cap note in-kernel).
 # Sized to stay EXACT for any physical warp: vertical spans reach
@@ -295,13 +302,13 @@ def bilinear_sample_fullgrad(
     serialized scatter-add. img (B, H, W, C) f32; coords (B, h, w, 2).
     """
     planes, x, y, shape = _to_planes(img, coords)
-    out = _plane_call(planes, x, y, tile_h, False, img.shape[1:3])
+    out = _plane_call(planes, x, y, FWD_TILE_H, False, img.shape[1:3])
     return _from_planes(out, shape)
 
 
 def _fwd(img, coords, tile_h):
     planes, x, y, shape = _to_planes(img, coords)
-    out, dx, dy = _plane_call(planes, x, y, tile_h, True, img.shape[1:3])
+    out, dx, dy = _plane_call(planes, x, y, FWD_TILE_H, True, img.shape[1:3])
     return _from_planes(out, shape), (
         _from_planes(dx, shape),
         _from_planes(dy, shape),

@@ -88,6 +88,7 @@ def snippet_loss(
     loss_cfg: LossConfig,
     model_cfg: ModelConfig,
     frames_clean: jnp.ndarray | None = None,
+    geo_scale: jnp.ndarray | float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total self-supervised loss over one snippet batch.
 
@@ -537,10 +538,13 @@ def snippet_loss(
     smooth_total = smooth_total / n_scales
     geo_total = geo_total / n_scales if loss_cfg.geometric_weight > 0 else jnp.array(0.0)
 
+    # geo_scale: traced ramp multiplier (train_step computes it from the
+    # step counter when loss.geo_ramp_steps > 0); aux reports the
+    # UNSCALED geo term so the metric stays comparable across the ramp.
     total = (
         photo_total
         + loss_cfg.smoothness_weight * smooth_total
-        + loss_cfg.geometric_weight * geo_total
+        + loss_cfg.geometric_weight * geo_scale * geo_total
     )
 
     # Depth<->pose gauge coupling (docs/SCALE_DECOUPLING.md; config.py

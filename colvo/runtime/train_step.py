@@ -41,6 +41,16 @@ def make_optimizer(cfg: ColvoConfig, steps_per_epoch: int = 1000) -> optax.Gradi
         init_value=cfg.train.lr,
         boundaries_and_scales={decay_step: cfg.train.lr_decay_factor},
     )
+    if cfg.train.warmup_steps > 0:
+        # Linear LR warmup (basin-robustness lever, VERDICT r4 next #4).
+        # join_schedules offsets the tail schedule by warmup_steps, so the
+        # family decay lands warmup_steps later — irrelevant at epoch-15
+        # decay vs a few-hundred-step warmup, noted for exactness.
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.train.lr, cfg.train.warmup_steps),
+             schedule],
+            [cfg.train.warmup_steps],
+        )
     if cfg.train.adam_mu_dtype not in ("", "float32", "bfloat16"):
         # Mirror loss.compute_dtype's validation: 'bf16'/'float16' must not
         # silently fall back to float32 (ADVICE r4).
@@ -78,7 +88,7 @@ def make_train_step(model: ColVOModel, tx: optax.GradientTransformation, cfg: Co
     ``batch`` = {frames, frames_clean, k}: frames (B, F, H, W, 3), k (3, 3).
     """
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, geo_scale):
         disps, poses = model.apply(params, batch["frames"])
         k = batch["k"]
         loss, aux = snippet_loss(
@@ -90,13 +100,20 @@ def make_train_step(model: ColVOModel, tx: optax.GradientTransformation, cfg: Co
             cfg.loss,
             cfg.model,
             frames_clean=batch.get("frames_clean"),
+            geo_scale=geo_scale,
         )
         aux.pop("depth/full", None)  # metrics only; keep the step output small
         return loss, aux
 
+    def _geo_scale(step):
+        if cfg.loss.geo_ramp_steps > 0:
+            return jnp.minimum(1.0, (step + 1.0) / cfg.loss.geo_ramp_steps)
+        return 1.0
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, _geo_scale(state.step))
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(aux)
@@ -125,12 +142,13 @@ def make_scan_train(model: ColVOModel, tx: optax.GradientTransformation,
     """
     from colvo.data.device_store import device_augment
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, geo_scale):
         disps, poses = model.apply(params, batch["frames"])
         k = batch["k"]
         loss, aux = snippet_loss(
             disps, poses, batch["frames"], k, jnp.linalg.inv(k),
             cfg.loss, cfg.model, frames_clean=batch["frames_clean"],
+            geo_scale=geo_scale,
         )
         aux.pop("depth/full", None)
         return loss, aux
@@ -145,7 +163,12 @@ def make_scan_train(model: ColVOModel, tx: optax.GradientTransformation,
         else:
             aug = clean
         batch = {"frames": aug, "frames_clean": clean, "k": k_mat}
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        if cfg.loss.geo_ramp_steps > 0:
+            geo_scale = jnp.minimum(1.0, (state.step + 1.0) / cfg.loss.geo_ramp_steps)
+        else:
+            geo_scale = 1.0
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, geo_scale)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(aux)

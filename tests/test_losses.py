@@ -610,6 +610,24 @@ def test_compute_dtype_invalid_raises():
         )
 
 
+def test_geo_scale_ramps_term_weight_only():
+    """snippet_loss(geo_scale=s): total moves by exactly (1-s)·w_geo·geo;
+    the aux geo metric stays UNSCALED (comparable across the ramp)."""
+    _, _, frames, k, mcfg = _setup_snippet(32, 32, n_scales=2)
+    disps, poses = _rand_disps_poses(mcfg, frames)
+    lcfg = LossConfig()
+    t1, a1_ = snippet_loss(disps, poses, frames, k, jnp.linalg.inv(k),
+                           lcfg, mcfg, geo_scale=1.0)
+    t0, a0 = snippet_loss(disps, poses, frames, k, jnp.linalg.inv(k),
+                          lcfg, mcfg, geo_scale=0.0)
+    geo = float(a1_["loss/geometric"])
+    assert geo > 0
+    np.testing.assert_allclose(float(a0["loss/geometric"]), geo, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(t1) - float(t0), lcfg.geometric_weight * geo, rtol=1e-5
+    )
+
+
 def test_gauge_coupling_hinge():
     """Gauge-range prior (loss.gauge_*): exactly zero value+gradient for an
     in-band translation/depth ratio; positive with a restoring gradient on
