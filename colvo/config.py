@@ -89,6 +89,16 @@ class LossConfig:
     #   global+affine | global+gain — global* modes prepend a per-frame
     #   global affine (auto-exposure prior; losses/photometric.py)
     lcc_window: int = 15  # low-frequency local window for the gain field
+    lcc_identity: bool = False  # ALSO apply LCC to the identity
+    #   (unwarped) source before the automask's identity error. The
+    #   automask compares warped-vs-target error (LCC-calibrated) against
+    #   unwarped-vs-target error (raw): under per-frame exposure jitter
+    #   the raw identity error carries the full gain mismatch, so the
+    #   identity side systematically loses and the automask degrades to
+    #   keep-everything — one measured channel by which jittered training
+    #   damages depth even with global LCC on (docs/EXPJIT_MECHANISM.md).
+    #   Calibrating both sides restores the comparison; ≈ no-op on clean
+    #   data (estimated gain ≈ 1). Off by default pending the 3-seed cell.
     fused_kernel: bool = False  # K1: warp+LCC+SSIM+L1 as ONE Pallas kernel
     #   on TPU (colvo.kernels.fused_loss — no materialized warped frames);
     #   False, non-TPU backends, or unsupported combos (lcc_mode="gain",

@@ -185,12 +185,27 @@ def snippet_loss(
 
     # Identity (unwarped) errors for automasking — scale-independent under
     # the full-res protocol; per-scale pyramid errors under photo_native.
+    # ``lcc_identity``: calibrate the identity source the same way the
+    # warped source is calibrated, so the automask comparison is fair
+    # under per-frame exposure changes (config.py note).
+    lcc_mode = (
+        loss_cfg.lcc_mode if loss_cfg.lcc and loss_cfg.lcc_mode != "off"
+        else "off"
+    )
+
+    def _ident_src(src_f, tgt_f):
+        if loss_cfg.lcc_identity and lcc_mode != "off":
+            return _c(lcc_calibrate(src_f, tgt_f, lcc_mode, loss_cfg.lcc_window))
+        return _c(src_f)
+
     if loss_cfg.automask:
         if loss_cfg.photo_native:
             identity_pyr = [
                 jnp.stack(
                     [
-                        photometric_error(_c(src_pyr[sc][s]), _c(tgt_pyr[sc]), loss_cfg.ssim_alpha)
+                        photometric_error(
+                            _ident_src(src_pyr[sc][s], tgt_pyr[sc]),
+                            _c(tgt_pyr[sc]), loss_cfg.ssim_alpha)
                         for s in range(n_sources)
                     ],
                     axis=-1,
@@ -200,7 +215,9 @@ def snippet_loss(
         else:
             identity_errors = jnp.stack(
                 [
-                    photometric_error(_c(frames_clean[:, s + 1]), _c(tgt_clean), loss_cfg.ssim_alpha)
+                    photometric_error(
+                        _ident_src(frames_clean[:, s + 1], tgt_clean),
+                        _c(tgt_clean), loss_cfg.ssim_alpha)
                     for s in range(n_sources)
                 ],
                 axis=-1,
@@ -213,11 +230,6 @@ def snippet_loss(
     smooth_total = 0.0
     geo_total = 0.0
     full_depth = None
-
-    lcc_mode = (
-        loss_cfg.lcc_mode if loss_cfg.lcc and loss_cfg.lcc_mode != "off"
-        else "off"
-    )
 
     # -------- projection pass: per-scale geometry (cheap matmul/elementwise)
     # Under photo_native the projection lives on each scale's own grid

