@@ -221,10 +221,17 @@ class LossConfig:
     # min_depth/max_depth ("the camera moves a non-negligible fraction of
     # the scene depth per frame"), zero value AND gradient everywhere
     # inside the band. Re-trained validation: docs/GAUGE.md.
+    # Band width matters — measured: a first validation pass at
+    # [0.005, 1.0] stopped the catastrophic 100x collapse but let the
+    # expjit_lccG seed-7 run drift to r ≈ 0.008-0.017 (4-7x decoupled,
+    # polyp-e 2.6 vs the ≤0.3 target) INSIDE the band (runs/gauge,
+    # docs/GAUGE.md). Healthy runs' training-time r fluctuates within
+    # [0.04, 0.12], so the production band is [0.03, 0.3]: ~1.5-2x margin
+    # around every healthy trajectory, zero room for a 4x+ collapse.
     gauge_weight: float = 1.0  # 0 disables; the hinge is exactly zero for
     #   any in-band model, so the weight only matters during escape
-    gauge_lo: float = 0.005  # lower r bound (collapse detector)
-    gauge_hi: float = 1.0  # upper r bound (runaway-translation guard)
+    gauge_lo: float = 0.03  # lower r bound (collapse detector)
+    gauge_hi: float = 0.3  # upper r bound (runaway-translation guard)
     geo_stopgrad: bool = False  # True: stop-gradient the warped source
     #   depth (pseudo-label consistency) — enables the Pallas
     #   no-source-grad sampler on TPU instead of XLA gather + scatter-add

@@ -42,6 +42,13 @@ def main():
         cells.append(dict(dcdp=False, lcc=False, seed=seed))
     for seed in SEEDS:
         cells.append(dict(dcdp=True, lcc=True, seed=seed))
+    # H3 fix cell (docs/EXPJIT_MECHANISM.md): calibrate the automask's
+    # identity reference under the same global LCC the warp gets.
+    for seed in SEEDS:
+        cells.append(dict(dcdp=True, lcc=True, seed=seed, exp_jitter=0.35,
+                          lcc_mode="global+affine",
+                          name="expjit_dcdp1_lccG_ident",
+                          overrides={"loss.lcc_identity": True}))
 
     for c in cells:
         run_cell(steps=steps, out_root=out_root, **c)
