@@ -103,6 +103,7 @@ def run_vo(
     chunk_size: int = 16,
     depth_dtype: str = "float16",
     input_format: str = "rgb",
+    symmetric_pose: bool = False,
 ) -> VOResult:
     """Run VO over a frame stream (BASELINE.json config 5).
 
@@ -132,7 +133,7 @@ def run_vo(
         # memory) — the executor drops non-keyframe depths at fetch time.
         depths_kf, rel6 = StreamingVO(
             runner, chunk_size=chunk_size, depth_dtype=depth_dtype,
-            input_format=input_format,
+            input_format=input_format, symmetric_pose=symmetric_pose,
         ).run(frames, keyframe_every=keyframe_every)
         if not depths_kf:
             return VOResult(poses=np.eye(4)[None].astype(np.float64))

@@ -140,7 +140,7 @@ def _i420_to_rgb_device(x: jnp.ndarray, video_range: bool = True) -> jnp.ndarray
 
 
 def _build_stream_fns(runner: InferenceRunner, wire_dt: jnp.dtype,
-                      input_format: str = "rgb"):
+                      input_format: str = "rgb", symmetric_pose: bool = False):
     cfg = runner.cfg
     model = runner.model
     quantized = wire_dt == jnp.uint8
@@ -181,6 +181,28 @@ def _build_stream_fns(runner: InferenceRunner, wire_dt: jnp.dtype,
         bneck_a = jnp.concatenate([carry_bneck, bnecks[:-1]], axis=0)
         feats = [bneck_a, bnecks] if cfg.model.dcdp_fusion else None
         aa, tr = model.apply(params, img_a, imgs, feats, method=model.pose)
+        if symmetric_pose:
+            # Symmetrized inference: read each pair BOTH ways and average
+            # with the inverse of the reversed reading. The pose net sees
+            # (target, source) in a fixed order; any order asymmetry it
+            # learned becomes a constant directed rotation/translation
+            # offset that integrates into trajectory drift — averaging
+            # with the reversed reading cancels the order-induced
+            # component exactly, with no calibration constant fitted
+            # (docs/DRIFT.md). Small-angle Lie-algebra average for the
+            # rotation (exact to O(θ²) at ≤1°/frame); the translation
+            # uses the exact inverse −R_baᵀ t_ba. Costs one extra pose
+            # pass per pair (the depth encoder is untouched).
+            from colvo.geometry import transformation_from_parameters
+
+            feats_r = ([bnecks, bneck_a] if cfg.model.dcdp_fusion else None)
+            aa_r, tr_r = model.apply(params, imgs, img_a, feats_r,
+                                     method=model.pose)
+            r_r = transformation_from_parameters(
+                aa_r[:, None], tr_r[:, None])[:, 0, :3, :3]
+            t_inv = -jnp.einsum("bji,bj->bi", r_r, tr_r)
+            aa = 0.5 * (aa - aa_r)
+            tr = 0.5 * (tr + t_inv)
         pose6 = jnp.concatenate([aa, tr], axis=-1).astype(jnp.float32)
         sdisp = _sdisp_of(disps)
         if quantized:
@@ -232,6 +254,7 @@ class StreamingVO:
         depth_dtype: str = "float16",
         fetch_workers: int = 4,
         input_format: str = "rgb",
+        symmetric_pose: bool = False,
     ):
         self.runner = runner
         self.chunk_size = int(chunk_size)
@@ -241,9 +264,10 @@ class StreamingVO:
         self.wire_dt = jnp.dtype(depth_dtype)
         assert self.wire_dt.itemsize in (1, 2, 4), depth_dtype
         cache = runner.__dict__.setdefault("_stream_fn_cache", {})
-        key = (str(self.wire_dt), input_format)
+        key = (str(self.wire_dt), input_format, bool(symmetric_pose))
         if key not in cache:
-            cache[key] = _build_stream_fns(runner, self.wire_dt, input_format)
+            cache[key] = _build_stream_fns(runner, self.wire_dt, input_format,
+                                           symmetric_pose)
         self._init_fn, self._chunk_fn = cache[key]
 
     def _chunks(

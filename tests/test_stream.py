@@ -203,6 +203,33 @@ def test_video_source_pixel_formats(tmp_path):
     assert f_i420.dtype == np.uint8 and f_i420.shape == (48, 48)  # (H*3/2, W)
 
 
+def test_symmetric_pose_matches_manual_average(tiny_runner, frames):
+    """StreamingVO(symmetric_pose=True) == the Lie-algebra average of the
+    two per-pair readings: aa_sym = (aa_fwd − aa_rev)/2,
+    t_sym = (t_fwd − R_revᵀ t_rev)/2 (docs/DRIFT.md)."""
+    runner, _ = tiny_runner
+    sv = StreamingVO(runner, chunk_size=3, depth_dtype="float32",
+                     symmetric_pose=True)
+    _, rel6 = sv.run(frames, keep_depths=False)
+
+    a, b = frames[:-1], frames[1:]
+    fwd = np.concatenate([runner.infer_pose(a[i:i+1], b[i:i+1])
+                          for i in range(len(a))])
+    rev = np.concatenate([runner.infer_pose(b[i:i+1], a[i:i+1])
+                          for i in range(len(a))])
+    from colvo.geometry import transformation_from_parameters
+    import jax.numpy as jnp
+
+    r_rev = np.asarray(transformation_from_parameters(
+        jnp.asarray(rev[:, None, :3]), jnp.asarray(rev[:, None, 3:])
+    ))[:, 0, :3, :3]
+    t_inv = -np.einsum("bji,bj->bi", r_rev, rev[:, 3:])
+    want = np.concatenate(
+        [0.5 * (fwd[:, :3] - rev[:, :3]), 0.5 * (fwd[:, 3:] + t_inv)], axis=-1
+    )
+    np.testing.assert_allclose(rel6, want, rtol=1e-4, atol=1e-5)
+
+
 def test_video_file_decode_roundtrip_run_vo(tiny_runner, tmp_path):
     """D1 end-to-end: an actual ENCODED video file streams through
     `VideoFrameSource` (cv2.VideoCapture) into `run_vo` — the last
