@@ -98,13 +98,14 @@ def main():
     # inside the 145 s VO wall — a measurement artifact, not a keyframe-
     # path cost (retention only adds an O(N/k) host memcpy; the wire
     # carries and decodes every depth map in both modes).
+    sym = os.environ.get("COLVO_SYM_POSE", "0") == "1"
     t0 = time.time()
     run_vo(runner, iter(frames_u8[:65]), keyframe_every=keyframe_every,
-           chunk_size=32, depth_dtype=wire_dt)
+           chunk_size=32, depth_dtype=wire_dt, symmetric_pose=sym)
     compile_s = time.time() - t0
     t0 = time.time()
     vo = run_vo(runner, iter(frames_u8), keyframe_every=keyframe_every,
-                chunk_size=32, depth_dtype=wire_dt)
+                chunk_size=32, depth_dtype=wire_dt, symmetric_pose=sym)
     vo_s = time.time() - t0
     print(f"VO: {n_frames} frames in {vo_s:.0f}s "
           f"({n_frames / vo_s:.1f} fps; warmup/compile {compile_s:.0f}s "
@@ -112,6 +113,23 @@ def main():
           f"RSS {_rss_mb():.0f} MB", flush=True)
 
     gt64 = gt_poses.astype(np.float64)
+    pose_metrics_raw = evaluate_pose(vo.poses, gt64)
+    refine_stats = {}
+    if os.environ.get("COLVO_REFINE", "1") != "0":
+        # Keyframe-segment pose refinement (colvo/vo/refine.py): re-optimize
+        # each consecutive-keyframe transform against the photometric+depth
+        # evidence at the k×-longer baseline, then re-chain.
+        from colvo.vo.refine import refine_keyframe_poses
+
+        t0 = time.time()
+        refined, refine_stats = refine_keyframe_poses(
+            vo.poses, vo.keyframe_ids, vo.depths,
+            frames_u8[vo.keyframe_ids], k,
+        )
+        refine_stats["refine_s"] = round(time.time() - t0, 1)
+        vo = VOResult(poses=refined, depths=vo.depths,
+                      keyframe_ids=vo.keyframe_ids)
+        print(f"keyframe refine: {refine_stats}", flush=True)
     pose_metrics = evaluate_pose(vo.poses, gt64)
 
     # sim(3) alignment (monocular scale ambiguity): poses into the GT
@@ -189,6 +207,9 @@ def main():
         "fps": round(n_frames / vo_s, 1),
         "compile_s_excluded": round(compile_s, 1),
         "wire": wire_dt,
+        "symmetric_pose": sym,
+        **{f"raw/{kk}": round(vv, 6) for kk, vv in pose_metrics_raw.items()},
+        **{f"refine/{kk}": vv for kk, vv in refine_stats.items()},
         "platform": jax.devices()[0].platform,
         "n_points_ours": len(cloud_ours),
         "n_points_gt": len(cloud_gt),
