@@ -184,7 +184,8 @@ def _gather_block_mc(hw_true, src_ref, x, y, n_chan, with_grads=True):
     channel with identical coords; at C=3 that work is ~a third of the
     production warp's cost (the step's dominant term, README roofline
     note). ``src_ref`` is a (1, C, H_pad, W_pad) VMEM block; returns
-    per-channel lists (outs, dxs, dys).
+    per-channel lists (outs, dxs, dys). Group-skipping and offset-class
+    variants below (COLVO_SAMPLER_SKIPG / COLVO_SAMPLER_SWEEP).
     """
     h_true, w_true = hw_true
     w_src = src_ref.shape[3]
@@ -259,6 +260,108 @@ def _gather_block_mc(hw_true, src_ref, x, y, n_chan, with_grads=True):
         return outs, dxs, dys
     ht, hb = acc
     return [ht[c] + wy * (hb[c] - ht[c]) for c in range(C)], None, None
+
+
+def _gather_block_mc_skipg(hw_true, src_ref, x, y, n_chan, with_grads=True):
+    """Group-skipping variant of ``_gather_block_mc``.
+
+    The accumulation is LINEAR in each (row, group)'s gathered values
+    (hval = (1−wx)·Σ_g m0_g·v0_g + wx·Σ_g m1_g·v1_g, and the vertical
+    carries are masked sums of hval), so the group loop hoists OUTSIDE
+    the row unroll and each group's whole contribution — seg loads,
+    broadcasts, gathers, accumulates — sits under ONE ``lax.cond`` on a
+    tile-uniform scalar (does ANY lane reference this group?). A typical
+    VO tile spans ~129 source columns = 2 of the 3 static groups, so the
+    third group's work is branched around entirely. Same arithmetic
+    regrouped (f32 association order differs — parity within test
+    tolerances). Experimental: COLVO_SAMPLER_SKIPG=1; measured before
+    any default change.
+    """
+    h_true, w_true = hw_true
+    w_src = src_ref.shape[3]
+    tile_h = x.shape[0]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w_true - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w_true - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h_true - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h_true - 1)
+
+    rmin = jnp.min(y0)
+    rmax = jnp.max(y1)
+    cbase = (jnp.min(x0) // LANES) * LANES
+    gidx0 = (x0 - cbase) // LANES
+    gidx1 = (x1 - cbase) // LANES
+    SUB = 8
+    C = n_chan
+    wxc = 1.0 - wx
+
+    def body(rb, carry):
+        r0 = pl.multiple_of(rb * SUB, SUB)
+
+        def add_group(g, carry):
+            base = jnp.clip(cbase + g * LANES, 0, max(w_src - LANES, 0))
+            base_a = pl.multiple_of(base, LANES)
+            segs = [src_ref[0, c, pl.ds(r0, SUB), pl.ds(base_a, LANES)]
+                    for c in range(C)]
+            loc0 = jnp.clip(x0 - base, 0, LANES - 1)
+            loc1 = jnp.clip(x1 - base, 0, LANES - 1)
+            m0 = gidx0 == g
+            m1 = gidx1 == g
+            for i in range(SUB):  # static unroll
+                r = r0 + i
+                is_t = y0 == r
+                is_b = y1 == r
+                for c in range(C):
+                    seg_b = jnp.broadcast_to(segs[c][i:i + 1],
+                                             (tile_h, LANES))
+                    v0 = jnp.where(m0, jnp.take_along_axis(seg_b, loc0,
+                                                           axis=1), 0.0)
+                    v1 = jnp.where(m1, jnp.take_along_axis(seg_b, loc1,
+                                                           axis=1), 0.0)
+                    hv = wxc * v0 + wx * v1
+                    if with_grads:
+                        ht, hb, dt, db = carry
+                        dv = v1 - v0
+                        carry = (
+                            _tup_add(ht, c, jnp.where(is_t, hv, 0.0)),
+                            _tup_add(hb, c, jnp.where(is_b, hv, 0.0)),
+                            _tup_add(dt, c, jnp.where(is_t, dv, 0.0)),
+                            _tup_add(db, c, jnp.where(is_b, dv, 0.0)),
+                        )
+                    else:
+                        ht, hb = carry
+                        carry = (
+                            _tup_add(ht, c, jnp.where(is_t, hv, 0.0)),
+                            _tup_add(hb, c, jnp.where(is_b, hv, 0.0)),
+                        )
+            return carry
+
+        for g in range(SPAN_GROUPS):
+            used = jnp.any(gidx0 == g) | jnp.any(gidx1 == g)
+            carry = jax.lax.cond(
+                used, lambda cc, g=g: add_group(g, cc), lambda cc: cc, carry
+            )
+        return carry
+
+    zeros = tuple(jnp.zeros((tile_h, LANES), jnp.float32) for _ in range(C))
+    init = (zeros,) * (4 if with_grads else 2)
+    acc = jax.lax.fori_loop(rmin // SUB, rmax // SUB + 1, body, init)
+    if with_grads:
+        ht, hb, dt, db = acc
+        outs = [ht[c] + wy * (hb[c] - ht[c]) for c in range(C)]
+        dxs = [dt[c] + wy * (db[c] - dt[c]) for c in range(C)]
+        dys = [hb[c] - ht[c] for c in range(C)]
+        return outs, dxs, dys
+    ht, hb = acc
+    return [ht[c] + wy * (hb[c] - ht[c]) for c in range(C)], None, None
+
+
+def _tup_add(t, c, v):
+    """Tuple-of-vregs carry update: t[c] += v (new tuple)."""
+    return tuple(t[i] + v if i == c else t[i] for i in range(len(t)))
 
 
 def _gather_block_mc_cls(hw_true, src_ref, x, y, n_chan, with_grads=True):
@@ -470,16 +573,28 @@ def _gather_block_cls(hw_true, src_ref, x, y, with_grads: bool = True):
     return ht + wy * (hb - ht), None, None
 
 
-# Which inner sweep the kernels use: "classes" (offset-class roll sweep,
-# the measured default) or "rows" (the round-1..4 row sweep, kept for A/B
-# and as the fallback if a toolchain regresses on dynamic rolls). Read
-# once at import; set COLVO_SAMPLER_SWEEP to override.
+# Which inner sweep the kernels use — MEASURED NEGATIVE for "classes"
+# (round 5, on-chip serial-chain at the production shapes): the
+# offset-class roll sweep does 2.5-3x fewer gather iterations on smooth
+# VO warps (2-4 live classes vs 8 statically-unrolled rows per block) yet
+# runs ~30% SLOWER everywhere — photo fwd 7.36 vs 5.73 ms, geo_fwd@256
+# 5.82 vs 2.87 — because the dynamic-trip inner fori_loop with a
+# dynamic-shift roll on its critical path defeats the static unroll's
+# instruction-level pipelining; iteration count is not the bottleneck,
+# issue-slot utilization is. Bit-exact parity both ways
+# (scripts/chip_parity.py). "rows" stays the default; the classes
+# implementation is kept as the recorded experiment
+# (COLVO_SAMPLER_SWEEP=classes to re-measure on future toolchains).
 import os as _os
 
-SWEEP_MODE = _os.environ.get("COLVO_SAMPLER_SWEEP", "classes")
+SWEEP_MODE = _os.environ.get("COLVO_SAMPLER_SWEEP", "rows")
+SKIP_GROUPS = _os.environ.get("COLVO_SAMPLER_SKIPG", "0") == "1"
 
 
 def _gather_mc(hw_true, src_ref, x, y, n_chan, with_grads=True):
+    if SKIP_GROUPS:
+        return _gather_block_mc_skipg(hw_true, src_ref, x, y, n_chan,
+                                      with_grads)
     # the roll trick aligns an (8, LANES) source block with an 8-row
     # coord tile 1:1 — other tile heights keep the row sweep
     if SWEEP_MODE == "rows" or x.shape[0] != 8:

@@ -37,6 +37,7 @@ def main():
     flags = dict(a.lstrip("-").split("=", 1) for a in argv if "=" in a)
     n1 = int(flags.get("n1", "20"))
     n2 = int(flags.get("n2", "80"))
+    only = flags.get("only", "")  # substring filter on case names
 
     import jax
     import jax.numpy as jnp
@@ -72,6 +73,8 @@ def main():
         return (t_n2 - t_n1) / (n2 - n1) * 1e3  # ms per call
 
     def case(name, img_shape, channels, fn, bytes_model):
+        if only and only not in name:
+            return None
         h, w = img_shape
         img = jnp.asarray(
             rng.random((b, h, w, channels), dtype=np.float32)
@@ -143,9 +146,12 @@ def main():
                  full_grad(xla_sample), fg_bytes)
         )
 
+    results = [r for r in results if r is not None]
     for r in results:
         print(json.dumps(r), flush=True)
 
+    if only:
+        return  # filtered run: no step reconstruction
     # Step-level reconstruction: default protocol = 8 full-res photometric
     # warp fwd+bwd(coords) + per-scale geo fullgrad fwd+bwd x 2 sources.
     by = {r["case"]: r["ms"] for r in results}
