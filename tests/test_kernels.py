@@ -34,6 +34,7 @@ def test_sampler_interpret_parity(h, w, c):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow  # infrastructure for a non-default knob (batched_photo)
 def test_sampler_grouped_interpret_parity():
     """Grouped sampler (one launch, coords plane i → source i // group)
     == per-plane sampler, forward AND coords gradient."""

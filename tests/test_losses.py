@@ -610,6 +610,7 @@ def test_compute_dtype_invalid_raises():
         )
 
 
+@pytest.mark.slow  # non-default knob pending its training cell
 def test_lcc_identity_restores_automask_under_jitter():
     """loss.lcc_identity: on a STATIC scene whose source frames differ only
     by a per-frame exposure gain, the raw identity error carries the gain
@@ -670,7 +671,9 @@ def test_gauge_coupling_hinge():
     in-band translation/depth ratio; positive with a restoring gradient on
     the pose translations when the ratio collapses below gauge_lo (the
     scale-decoupling failure, docs/SCALE_DECOUPLING.md)."""
-    _, _, frames, k, mcfg = _setup_snippet(32, 32, n_scales=2)
+    # n_scales=1: the gauge term reads only poses + the full-res depth,
+    # so one scale pins the same contract at half the eager op count
+    _, _, frames, k, mcfg = _setup_snippet(32, 32, n_scales=1)
     disps, poses = _rand_disps_poses(mcfg, frames)
     lcfg = LossConfig(gauge_weight=1.0, gauge_lo=0.005, gauge_hi=1.0)
 

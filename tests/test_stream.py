@@ -203,6 +203,7 @@ def test_video_source_pixel_formats(tmp_path):
     assert f_i420.dtype == np.uint8 and f_i420.shape == (48, 48)  # (H*3/2, W)
 
 
+@pytest.mark.slow  # non-default inference path; ~1 min of stream compiles
 def test_symmetric_pose_matches_manual_average(tiny_runner, frames):
     """StreamingVO(symmetric_pose=True) == the Lie-algebra average of the
     two per-pair readings: aa_sym = (aa_fwd − aa_rev)/2,
