@@ -65,13 +65,15 @@ from colvo.kernels.sampler import (
 # wins — round-4 on-chip sweep, B=12 256x320x1 fullgrad fwd+bwd, serial
 # chain: tile_h 8/16/32/64/128 → 26.9/17.1/11.0/8.4/9.7 ms.
 DEFAULT_TILE_H = 64
-# Forward-gather tile, decoupled from the scatter tile above (round 5):
-# the round-4 64-row optimum was measured with fwd+bwd SHARING tile_h;
-# the gather side independently wants the narrowest legal tile (sampler
-# sweep: 8 → 5.62 ms vs 64 → 9.96 at the photo shape) and the round-5
-# offset-class sweep only engages at 8 rows. The scatter backward keeps
-# its own wide tile (class-discovery amortization).
-FWD_TILE_H = 8
+# Forward-gather tile, decoupled from the scatter tile above (round 5).
+# Conflicting measurements, step level wins: ISOLATED serial-chain says
+# 8 beats 64 for the fwd gather (geo_fwdbwd@256 7.97 vs 8.59 ms; geo_fwd
+# 2.87 vs 3.44), but the full train step measured 88.6 ms with fwd=8 vs
+# 82.3 with fwd=64 in the same session window — the extra kernel shape
+# appears to cost more in-program (scheduling/recompile boundaries) than
+# the isolated win. Default stays 64 (= the scatter tile); the
+# decoupling knob remains for future toolchains.
+FWD_TILE_H = 64
 LOCAL_W_MAX = 512  # max lanes covered by one local accumulation tile
 # Static caps on visited offset classes per tile (see cap note in-kernel).
 # Sized to stay EXACT for any physical warp: vertical spans reach
