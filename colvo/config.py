@@ -275,6 +275,21 @@ class TrainConfig:
     #   otherwise deterministic given fixed seeds
     debug_nans: bool = False  # jax_debug_nans: raise at the op that first
     #   produces a NaN instead of tripping the max_bad_steps guard later
+    # Basin detect-and-restart (VERDICT r4 next #4). The mediocre basin
+    # has a crisp in-training signature: loss/geometric stuck >0.015 from
+    # ~step 1000 while every strong-basin run is <=0.009 by then
+    # (runs/ablate/dcdp1_lcc1* curves, docs/ABLATION.md). When
+    # restart_threshold > 0, the loop blocking-fetches restart_metric ONCE
+    # per attempt at the first logged step >= restart_check_step; above
+    # threshold => discard the attempt, reinit params+opt with
+    # seed + 1000*attempt, reset the step clock. At most restart_max
+    # restarts; the final allowed attempt always runs to completion.
+    # Costs one scalar fetch when healthy, restart_check_step wasted
+    # steps per escape when not. 0 disables (the family protocol).
+    restart_metric: str = "loss/geometric"
+    restart_threshold: float = 0.0
+    restart_check_step: int = 1500
+    restart_max: int = 2
 
 
 @dataclass

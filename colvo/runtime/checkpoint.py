@@ -88,6 +88,14 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def reset(self) -> None:
+        """Delete every saved step. Basin detect-and-restart (R2) discards
+        a failed attempt's checkpoints so the retry can re-save the same
+        step numbers without Orbax step-exists conflicts."""
+        self._mgr.wait_until_finished()
+        for s in list(self._mgr.all_steps()):
+            self._mgr.delete(s)
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 

@@ -162,6 +162,16 @@ def train(
 
     import time as _time
 
+    # Basin detect-and-restart (SURVEY.md §5.3; VERDICT r4 next #4): see
+    # TrainConfig.restart_* for the signature and protocol. One blocking
+    # scalar fetch per attempt; a restart reinits params+opt with a
+    # derived seed and resets the step clock — same compiled step_fn, no
+    # retrace (shapes unchanged). The data stream is NOT restarted: the
+    # basin is an init phenomenon, and replaying the same batches under a
+    # new init keeps the attempt comparison controlled.
+    restarts_used = 0
+    restart_checked = False
+
     wall_t0 = _time.time()
     for batch in stream:
         if step >= total_steps:
@@ -193,6 +203,45 @@ def train(
             # hard back-pressure + a dispatch-side NaN stop when not.
             inflight.append((step, metrics.get("loss/total")))
             drain_inflight(max(int(cfg.train.dispatch_ahead_windows), 1))
+
+        if (cfg.train.restart_threshold > 0 and not restart_checked
+                and restarts_used < cfg.train.restart_max
+                and step >= cfg.train.restart_check_step):
+            restart_checked = True
+            name = cfg.train.restart_metric
+            if name not in metrics:
+                raise ValueError(
+                    f"train.restart_metric {name!r} not in step metrics "
+                    f"{sorted(metrics)}"
+                )
+            val = float(np.asarray(metrics[name]))  # one blocking fetch
+            if val > cfg.train.restart_threshold:
+                restarts_used += 1
+                new_seed = cfg.train.seed + 1000 * restarts_used
+                logger.log(step, {
+                    "restart/attempt": float(restarts_used),
+                    "restart/metric_value": val,
+                    "restart/new_seed": float(new_seed),
+                })
+                print(f"[restart {restarts_used}/{cfg.train.restart_max}] "
+                      f"{name}={val:.4g} > {cfg.train.restart_threshold} "
+                      f"at step {step}; reinit with seed {new_seed}",
+                      flush=True)
+                inflight.clear()  # discarded attempt's loss handles
+                _, state = init_state(cfg, jax.random.key(new_seed),
+                                      steps_per_epoch)
+                if mesh.devices.size > 1:
+                    state = TrainState(
+                        replicate_tree(state.params, mesh),
+                        replicate_tree(state.opt_state, mesh),
+                        state.step,
+                    )
+                ckpt_pool.submit(ckpt.reset)  # serialized after prior saves
+                step = 0
+                start_step = 0
+                restart_checked = False
+                wall_t0 = _time.time()
+                continue
 
         if step % cfg.train.ckpt_every_steps == 0 or step == total_steps:
             if step == total_steps:

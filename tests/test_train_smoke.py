@@ -132,6 +132,46 @@ def test_dp_hlo_contains_collective():
 
 
 @pytest.mark.slow
+def test_basin_detect_and_restart(tmp_path):
+    """Basin detect-and-restart (runtime/loop.py; VERDICT r4 next #4): with
+    train.restart_* armed and the metric over threshold at the check step,
+    the loop discards the attempt, reinits with a derived seed, wipes the
+    failed attempt's checkpoints (same step numbers re-save without Orbax
+    conflicts), and the final allowed attempt runs to completion."""
+    import json
+    import os
+
+    from colvo.runtime import train as train_loop
+
+    cfg = tiny_config(batch_size=2, h=64, w=64)
+    cfg.model.n_scales = 2
+    cfg.data.frame_offsets = (1,)
+    cfg.train.log_every = 2
+    cfg.train.ckpt_every_steps = 2  # attempt 0 saves step 2 BEFORE the
+    #   restart — exercises ckpt.reset (re-saving step 2 would conflict)
+    cfg.train.ckpt_dir = str(tmp_path / "ckpt")
+    cfg.train.restart_metric = "loss/total"
+    cfg.train.restart_threshold = 1e-9  # always trips at the check step
+    cfg.train.restart_check_step = 3
+    cfg.train.restart_max = 1  # attempt 1 must run to completion anyway
+    seq = render_sequence(n_frames=8, height=64, width=64, seed=3)
+    ds = SnippetDataset([seq.frames], [seq.k], cfg.data.frame_offsets)
+    _, state = train_loop(cfg, ds, log_dir=str(tmp_path / "log"), max_steps=6)
+
+    rows = [json.loads(l)
+            for l in open(tmp_path / "log" / "metrics.jsonl")]
+    restarts = [r for r in rows if "restart/attempt" in r]
+    assert len(restarts) == 1, restarts  # restart_max=1: exactly one
+    assert restarts[0]["restart/new_seed"] == cfg.train.seed + 1000
+    assert restarts[0]["restart/metric_value"] > 0
+    # attempt 1 reached max_steps and re-saved the wiped step numbers
+    assert int(state.step) == 6
+    saved = sorted(int(d) for d in os.listdir(cfg.train.ckpt_dir)
+                   if d.isdigit())
+    assert 6 in saved, saved
+
+
+@pytest.mark.slow
 def test_dispatch_side_nan_stop(tmp_path):
     """Diverged-model hard stop (runtime/loop.py): the loop retires the
     loss from N log windows back on the dispatch side, so training aborts
