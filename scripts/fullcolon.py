@@ -243,7 +243,13 @@ def main():
         f"(`fullcolon_ours.ply.gz`)",
         f"* trajectory: ATE {pose_metrics['ate']:.4f} m (sim3), "
         f"RPE rot {pose_metrics['rpe_rot_deg']:.3f} deg/frame over "
-        f"{n_frames} frames",
+        f"{n_frames} frames"
+        + (f" — symmetrized pose reading (docs/DRIFT.md: the per-frame "
+           f"rotation error is 98% constant order-bias; reading each pair "
+           f"both ways cancels it)" if sym else "")
+        + (f"; keyframe-segment refinement "
+           f"(ATE {pose_metrics_raw['ate']:.4f} → "
+           f"{pose_metrics['ate']:.4f})" if refine_stats else ""),
         f"* polyp localization e (m): "
         + ", ".join(f"{e:.4f}" for e in polyp_err)
         + f" (mean {np.mean(polyp_err):.4f})",

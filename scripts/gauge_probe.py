@@ -56,7 +56,21 @@ def main():
                               seed=999, exposure_jitter=0.35),
     }
 
-    for run, jit_arm, overrides in RUNS:
+    runs = RUNS
+    if os.path.normpath(root) != os.path.normpath("runs/ablate"):
+        # Generic roots (runs/gauge2, runs/levers, ...): glob trained
+        # cells; the eval arm and model arch are recoverable from the
+        # cell-naming convention (scripts/ablate.py::run_cell).
+        import glob
+
+        runs = []
+        for w in sorted(glob.glob(os.path.join(root, "*", "weights.npz"))):
+            name = os.path.basename(os.path.dirname(w))
+            runs.append((name, name.startswith("expjit_"),
+                         ["--model.dcdp_fusion=false"]
+                         if "dcdp0" in name else []))
+
+    for run, jit_arm, overrides in runs:
         weights = os.path.join(root, run, "weights.npz")
         if not os.path.exists(weights):
             print(json.dumps({"run": run, "skip": "missing"}), flush=True)
