@@ -35,13 +35,16 @@ def main():
     os.makedirs(out_root, exist_ok=True)
 
     cells = []
+    # Flagship first: its weights feed the full-colon rerun
+    # (scripts/fullcolon.py), so a partial queue unblocks that artifact
+    # at the earliest possible point.
+    for seed in SEEDS:
+        cells.append(dict(dcdp=True, lcc=True, seed=seed))
     for seed in SEEDS:
         cells.append(dict(dcdp=True, lcc=True, seed=seed, exp_jitter=0.35,
                           lcc_mode="global+affine", name="expjit_dcdp1_lccG"))
     for seed in SEEDS:
         cells.append(dict(dcdp=False, lcc=False, seed=seed))
-    for seed in SEEDS:
-        cells.append(dict(dcdp=True, lcc=True, seed=seed))
     # H3 fix cell (docs/EXPJIT_MECHANISM.md): calibrate the automask's
     # identity reference under the same global LCC the warp gets.
     for seed in SEEDS:
