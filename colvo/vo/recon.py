@@ -77,6 +77,7 @@ def stitch_pointclouds(
     voxel: float = 0.002,
     max_depth: Optional[float] = None,
     stride: int = 2,
+    max_depth_rel: Optional[float] = None,
 ) -> PointCloud:
     """Stitch keyframe depths into one world-frame cloud (README.md:29).
 
@@ -86,6 +87,11 @@ def stitch_pointclouds(
         frames: optional RGB frames (indexed by keyframe id) for colors.
         voxel: downsample cell size (meters, network scale).
         max_depth: drop points beyond this depth (colon far-wall noise).
+        max_depth_rel: like max_depth but in units of each frame's MEDIAN
+            depth — invariant to the monocular gauge, so the same cap
+            keeps the same near-wall fraction whether the depths are GT
+            or sim(3)-rescaled predictions (an absolute cap silently
+            empties the cloud when the aligned scale shifts).
         stride: pixel subsampling before stitching (dense depth is
             redundant at cloud level).
     """
@@ -102,6 +108,8 @@ def stitch_pointclouds(
         valid = np.isfinite(pts_cam).all(axis=1)
         if max_depth is not None:
             valid &= d.reshape(-1) < max_depth
+        if max_depth_rel is not None:
+            valid &= d.reshape(-1) < max_depth_rel * float(np.median(d))
         pts_cam = pts_cam[valid]
         pose = vo.poses[fid]
         pts_w = pts_cam @ pose[:3, :3].T + pose[:3, 3]

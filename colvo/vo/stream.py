@@ -182,27 +182,26 @@ def _build_stream_fns(runner: InferenceRunner, wire_dt: jnp.dtype,
         feats = [bneck_a, bnecks] if cfg.model.dcdp_fusion else None
         aa, tr = model.apply(params, img_a, imgs, feats, method=model.pose)
         if symmetric_pose:
-            # Symmetrized inference: read each pair BOTH ways and average
-            # with the inverse of the reversed reading. The pose net sees
-            # (target, source) in a fixed order; any order asymmetry it
-            # learned becomes a constant directed rotation/translation
-            # offset that integrates into trajectory drift — averaging
-            # with the reversed reading cancels the order-induced
-            # component exactly, with no calibration constant fitted
-            # (docs/DRIFT.md). Small-angle Lie-algebra average for the
-            # rotation (exact to O(θ²) at ≤1°/frame); the translation
-            # uses the exact inverse −R_baᵀ t_ba. Costs one extra pose
-            # pass per pair (the depth encoder is untouched).
-            from colvo.geometry import transformation_from_parameters
-
+            # Symmetrized inference, ROTATION ONLY: read each pair BOTH
+            # ways and average the rotation in the Lie algebra. The pose
+            # net sees (target, source) in a fixed order; its learned
+            # order asymmetry becomes a constant directed rotation offset
+            # that integrates into trajectory drift — averaging with the
+            # reversed reading cancels it exactly, no calibration constant
+            # fitted, exact to O(θ²) at ≤1°/frame (docs/DRIFT.md: 2.9×
+            # lower per-frame rotation error). The TRANSLATION keeps the
+            # forward reading: the corpus moves forward only, so the net
+            # carries a forward-motion prior — it predicts forward-signed
+            # t for BOTH reading orders, and averaging with the exact
+            # inverse −R_baᵀ t_ba annihilates the signal instead of the
+            # bias (measured: mean‖t‖ 0.0351 → 0.0007, a 50× collapse of
+            # the inference gauge r that blew polyp-e up 20× while ATE
+            # stayed fine because sim(3) absorbs trajectory scale).
+            # Costs one extra pose pass per pair (depth encoder untouched).
             feats_r = ([bnecks, bneck_a] if cfg.model.dcdp_fusion else None)
-            aa_r, tr_r = model.apply(params, imgs, img_a, feats_r,
-                                     method=model.pose)
-            r_r = transformation_from_parameters(
-                aa_r[:, None], tr_r[:, None])[:, 0, :3, :3]
-            t_inv = -jnp.einsum("bji,bj->bi", r_r, tr_r)
+            aa_r, _ = model.apply(params, imgs, img_a, feats_r,
+                                  method=model.pose)
             aa = 0.5 * (aa - aa_r)
-            tr = 0.5 * (tr + t_inv)
         pose6 = jnp.concatenate([aa, tr], axis=-1).astype(jnp.float32)
         sdisp = _sdisp_of(disps)
         if quantized:

@@ -40,15 +40,20 @@ def _rss_mb() -> float:
 
 def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    weights = sys.argv[2] if len(sys.argv) > 2 else "runs/ablate/dcdp1_lcc1/weights.npz"
+    weights = sys.argv[2] if len(sys.argv) > 2 else "runs/gauge2/dcdp1_lcc1/weights.npz"
     out_dir = sys.argv[3] if len(sys.argv) > 3 else "docs"
     keyframe_every = int(os.environ.get("COLVO_KEYFRAME_EVERY", "10"))
     voxel = float(os.environ.get("COLVO_VOXEL", "0.003"))
     # Stitch only near-wall geometry: rays nearly parallel to the lumen
     # axis hit the renderer's far-depth cap (data/synthetic.py), and the
     # model's far predictions are unconstrained — the union of per-frame
-    # near rings still covers the whole traversed tube densely.
-    stitch_depth_cap = float(os.environ.get("COLVO_STITCH_DEPTH_CAP", "0.08"))
+    # near rings still covers the whole traversed tube densely. The cap is
+    # RELATIVE (units of each frame's median depth; 1.6x keeps 80% of GT
+    # pixels, matching the old absolute 0.08 on GT) because the sim(3)
+    # scale that maps predictions into GT coordinates shifts with the
+    # training gauge — an absolute cap emptied the cloud when the
+    # gauge-prior weights landed at a different r than the round-4 runs.
+    stitch_depth_cap = float(os.environ.get("COLVO_STITCH_DEPTH_CAP", "1.6"))
     os.makedirs(out_dir, exist_ok=True)
 
     import jax
@@ -119,10 +124,15 @@ def main():
     gt64 = gt_poses.astype(np.float64)
     pose_metrics_raw = evaluate_pose(vo.poses, gt64)
     refine_stats = {}
-    if os.environ.get("COLVO_REFINE", "1") != "0":
+    if os.environ.get("COLVO_REFINE", "0") != "0":
         # Keyframe-segment pose refinement (colvo/vo/refine.py): re-optimize
         # each consecutive-keyframe transform against the photometric+depth
-        # evidence at the k×-longer baseline, then re-chain.
+        # evidence at the k×-longer baseline, then re-chain. DEFAULT OFF on
+        # measured evidence (docs/DRIFT.md): on the 3000-frame run it
+        # improves its own per-pair residual 4% (0.0597→0.0572) while
+        # degrading the trajectory 13× (rpe_rot 0.028→0.379°/frame) — the
+        # photometric objective at the 10× baseline is flatter than the
+        # symmetrized network prior it overwrites.
         from colvo.vo.refine import refine_keyframe_poses
 
         t0 = time.time()
@@ -158,9 +168,11 @@ def main():
 
     t0 = time.time()
     cloud_ours = stitch_pointclouds(vo_aligned, k, frames=frames_u8,
-                                    voxel=voxel, max_depth=stitch_depth_cap)
+                                    voxel=voxel,
+                                    max_depth_rel=stitch_depth_cap)
     cloud_gt = stitch_pointclouds(gt_vo, k, frames=frames_u8,
-                                  voxel=voxel, max_depth=stitch_depth_cap)
+                                  voxel=voxel,
+                                  max_depth_rel=stitch_depth_cap)
     stitch_s = time.time() - t0
     print(f"stitched: ours {len(cloud_ours)} pts, GT {len(cloud_gt)} pts "
           f"in {stitch_s:.0f}s, RSS {_rss_mb():.0f} MB", flush=True)
@@ -170,17 +182,40 @@ def main():
     # reference figure's e-metric (imgs/3Dcolonreconstruction.png).
     rng = np.random.default_rng(5)
     k_inv64 = np.linalg.inv(k.astype(np.float64))
-    dets, gts = [], []
+    dets, gts, polyp_diag = [], [], []
     for frac in (0.25, 0.5, 0.75):
         fid = (int(n_frames * frac) // keyframe_every) * keyframe_every
-        cx = int(rng.integers(w // 4, 3 * w // 4))
-        cy = int(rng.integers(h // 4, 3 * h // 4))
+        d_kf = gt_depths[vo.keyframe_ids.index(fid)]
+        med = float(np.median(d_kf))
+        # Polyps are NEAR-WALL features: a detector fires on a lesion on
+        # the visible colon wall, not on the dark void down the lumen
+        # axis. Rejection-sample the detection center until its GT depth
+        # is within 2x the frame's median depth (the wall band) — a
+        # center-of-image draw can land on the lumen axis where GT depth
+        # is meters and ANY monocular depth is unconstrained, which
+        # measures the renderer's far cap, not localization.
+        for _ in range(100):
+            cx = int(rng.integers(w // 4, 3 * w // 4))
+            cy = int(rng.integers(h // 4, 3 * h // 4))
+            if float(d_kf[cy, cx]) <= 2.0 * med:
+                break
         dets.append(PolypDetection(frame_id=fid, box=(cx - 6, cy - 6, cx + 6, cy + 6)))
-        d_gt = float(gt_depths[vo.keyframe_ids.index(fid)][cy, cx])
+        d_gt = float(d_kf[cy, cx])
         p_cam = k_inv64 @ np.array([cx, cy, 1.0]) * d_gt
         gts.append(gt64[fid, :3, :3] @ p_cam + gt64[fid, :3, 3])
+        polyp_diag.append({"fid": fid, "px": [cx, cy], "d_gt": round(d_gt, 4)})
     locs = localize_polyps(vo_aligned, k, dets, np.stack(gts))
     polyp_err = [l.error for l in locs]
+    # Per-polyp diagnostics: split e into pose-position error at the frame
+    # vs lifted-depth error, so a regression names its channel.
+    from colvo.vo.polyps import _box_depth
+    for diag, det in zip(polyp_diag, dets):
+        dp = vo_aligned.depths[vo.keyframe_ids.index(det.frame_id)]
+        _, _, d_pred = _box_depth(dp, det.box)
+        diag["d_pred_aligned"] = round(float(d_pred), 4)
+        diag["pose_pos_err"] = round(float(np.linalg.norm(
+            apose[det.frame_id, :3, 3] - gt64[det.frame_id, :3, 3])), 4)
+    print(f"polyp diag: {polyp_diag}", flush=True)
 
     viz_recon_pair(
         {"points": cloud_gt.points, "colors": cloud_gt.colors,
@@ -221,6 +256,7 @@ def main():
         **{kk: round(vv, 6) for kk, vv in pose_metrics.items()},
         **{f"polyp/e{i + 1}": round(e, 4) for i, e in enumerate(polyp_err)},
         "polyp/e_mean": round(float(np.mean(polyp_err)), 4),
+        "polyp/diag": polyp_diag,
     }
     with open(os.path.join(out_dir, "fullcolon.json"), "w") as f:
         json.dump(rec, f, indent=1)

@@ -205,9 +205,11 @@ def test_video_source_pixel_formats(tmp_path):
 
 @pytest.mark.slow  # non-default inference path; ~1 min of stream compiles
 def test_symmetric_pose_matches_manual_average(tiny_runner, frames):
-    """StreamingVO(symmetric_pose=True) == the Lie-algebra average of the
-    two per-pair readings: aa_sym = (aa_fwd − aa_rev)/2,
-    t_sym = (t_fwd − R_revᵀ t_rev)/2 (docs/DRIFT.md)."""
+    """StreamingVO(symmetric_pose=True) == rotation-only Lie-algebra
+    average of the two per-pair readings: aa_sym = (aa_fwd − aa_rev)/2,
+    t_sym = t_fwd (docs/DRIFT.md — averaging the translation with the
+    exact inverse annihilates the forward-motion signal, measured 50×
+    gauge collapse, so the translation keeps the forward reading)."""
     runner, _ = tiny_runner
     sv = StreamingVO(runner, chunk_size=3, depth_dtype="float32",
                      symmetric_pose=True)
@@ -218,15 +220,8 @@ def test_symmetric_pose_matches_manual_average(tiny_runner, frames):
                           for i in range(len(a))])
     rev = np.concatenate([runner.infer_pose(b[i:i+1], a[i:i+1])
                           for i in range(len(a))])
-    from colvo.geometry import transformation_from_parameters
-    import jax.numpy as jnp
-
-    r_rev = np.asarray(transformation_from_parameters(
-        jnp.asarray(rev[:, None, :3]), jnp.asarray(rev[:, None, 3:])
-    ))[:, 0, :3, :3]
-    t_inv = -np.einsum("bji,bj->bi", r_rev, rev[:, 3:])
     want = np.concatenate(
-        [0.5 * (fwd[:, :3] - rev[:, :3]), 0.5 * (fwd[:, 3:] + t_inv)], axis=-1
+        [0.5 * (fwd[:, :3] - rev[:, :3]), fwd[:, 3:]], axis=-1
     )
     np.testing.assert_allclose(rel6, want, rtol=1e-4, atol=1e-5)
 
