@@ -186,7 +186,7 @@ def test_fused_loss_interpret_parity(lcc_window):
     # B=1, C=2 halves the interpreted plane count vs (2, ..., 3) with the
     # same structure coverage (multi-channel averaging + per-plane VJP);
     # fast-loop budget, VERDICT r4 next #8
-    h, w, c = 64, 128, 2
+    h, w, c = 32, 128, 2  # one (32,128) tile: minimum legal kernel shape
     src = jnp.asarray(rng.random((1, h, w, c), dtype=np.float32))
     tgt = jnp.asarray(rng.random((1, h, w, c), dtype=np.float32))
     coords = vo_like_coords(1, h, w, seed=8, scale=2.0) + 0.3
@@ -274,7 +274,7 @@ def test_scatter_cap_overflow_audit():
     batch = next(batch_iterator(ds, cfg.data, seed=0))
     model = ColVOModel(cfg.model)
     frames = jnp.asarray(batch["frames"])
-    params = model.init(jax.random.key(0), frames)
+    params = jax.jit(model.init)(jax.random.key(0), frames)
     from colvo.losses import snippet_loss
 
     disps, poses = model.apply(params, frames)

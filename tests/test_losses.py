@@ -302,7 +302,10 @@ def _setup_snippet(h=32, w=32, b=1, n_scales=4):  # share the model init
     mcfg = ModelConfig(dtype="float32", n_scales=n_scales)
     model = ColVOModel(mcfg)
     frames = jnp.asarray(RNG.random((b, 3, h, w, 3)).astype(np.float32))
-    params = model.init(jax.random.key(0), frames)
+    # jit the init: eager per-op dispatch of the conv net's init costs
+    # ~7x a cold compile+run of the same graph on CPU (measured 15.1 s
+    # eager vs 2.0 s jitted at 32x32) — the single biggest fast-loop tax.
+    params = jax.jit(model.init)(jax.random.key(0), frames)
     k = jnp.array([[0.58 * w, 0, w / 2], [0, 0.92 * h, h / 2], [0, 0, 1]], dtype=jnp.float32)
     return model, params, frames, k, mcfg
 
@@ -359,13 +362,18 @@ def test_snippet_loss_ablations_run():
     # mixed modes run in the slow sibling (fast-loop budget, VERDICT r4
     # next #8).
     model, params, frames, k, mcfg = _setup_snippet(32, 32, n_scales=2)
-    disps, poses = model.apply(params, frames)
+    disps, poses = jax.jit(model.apply)(params, frames)
     for lcfg in [
         LossConfig(lcc=False, geometric_weight=0.0, automask=False),
         LossConfig(geo_full_res=True, geo_stopgrad=False),
         LossConfig(geo_full_res=False, geo_stopgrad=False),
     ]:
-        loss, _ = snippet_loss(disps, poses, frames, k, jnp.linalg.inv(k), lcfg, mcfg)
+        # jitted: eager per-op dispatch of the loss graph costs 2-4x its
+        # cold compile+run on CPU (fast-loop budget)
+        loss = jax.jit(
+            lambda d, p, cfg=lcfg: snippet_loss(
+                d, p, frames, k, jnp.linalg.inv(k), cfg, mcfg)[0]
+        )(disps, poses)
         assert np.isfinite(float(loss))
 
 
@@ -400,9 +408,9 @@ def test_geo_modes_grads_flow_and_agree_on_sign():
         )
         return loss, aux["loss/geometric"]
 
-    (loss, geo), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        (disps, poses)
-    )
+    (loss, geo), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )((disps, poses))
     assert np.isfinite(float(loss)) and np.isfinite(float(geo))
     assert float(geo) > 0
     leaves = jax.tree.leaves(grads)
@@ -451,6 +459,8 @@ def _check_batched_photo(extras):
         return loss
 
     for extra in extras:
+        # eager on purpose: jitting these four VJP programs costs more in
+        # CPU compiles than eager dispatch saves (measured)
         l_b, g_b = jax.value_and_grad(
             lambda dp: loss_fn(dp, LossConfig(batched_photo=True, **extra))
         )((disps, poses))
@@ -537,8 +547,10 @@ def test_photo_native_finite_and_grads_flow():
 
 
 def test_photo_native_config_conflicts_raise():
-    model, params, frames, k, mcfg = _setup_snippet()
-    disps, poses = model.apply(params, frames)
+    # conflicts raise at trace time — random loss inputs suffice, no need
+    # to run the conv model (fast-loop budget)
+    _, _, frames, k, mcfg = _setup_snippet()
+    disps, poses = _rand_disps_poses(mcfg, frames)
     for lcfg in [
         LossConfig(photo_native=True, geo_full_res=True),
         LossConfig(photo_native=True, batched_photo=True),
@@ -588,8 +600,9 @@ def test_compute_dtype_close_to_f32_and_grads_flow():
 
 
 def test_compute_dtype_invalid_raises():
-    model, params, frames, k, mcfg = _setup_snippet(32, 32, n_scales=2)
-    disps, poses = model.apply(params, frames)
+    # rejections fire at trace time — random loss inputs, no conv model
+    _, _, frames, k, mcfg = _setup_snippet(32, 32, n_scales=2)
+    disps, poses = _rand_disps_poses(mcfg, frames)
     with pytest.raises(ValueError):
         snippet_loss(
             disps, poses, frames, k, jnp.linalg.inv(k),
@@ -677,12 +690,14 @@ def test_gauge_coupling_hinge():
     disps, poses = _rand_disps_poses(mcfg, frames)
     lcfg = LossConfig(gauge_weight=1.0, gauge_lo=0.005, gauge_hi=1.0)
 
+    @jax.jit  # 6 evals of the same two programs: compile once each
     def gauge_of(p):
         loss, aux = snippet_loss(
             disps, p, frames, k, jnp.linalg.inv(k), lcfg, mcfg
         )
         return aux["loss/gauge"], aux["gauge/r"]
 
+    @jax.jit
     def loss_of(p):
         return snippet_loss(
             disps, p, frames, k, jnp.linalg.inv(k), lcfg, mcfg
@@ -696,8 +711,8 @@ def test_gauge_coupling_hinge():
     assert 0.005 < float(r_mid) < 1.0
     assert float(g_mid) == 0.0
     lcfg_off = LossConfig(gauge_weight=0.0)
-    base = snippet_loss(disps, mid, frames, k, jnp.linalg.inv(k),
-                        lcfg_off, mcfg)[0]
+    base = jax.jit(lambda p: snippet_loss(
+        disps, p, frames, k, jnp.linalg.inv(k), lcfg_off, mcfg)[0])(mid)
     np.testing.assert_allclose(float(loss_of(mid)), float(base), rtol=1e-7)
 
     # collapsed: 100x below the band → positive hinge, gradient pushes the

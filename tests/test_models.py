@@ -25,8 +25,8 @@ def _img(b=2, c=3):
 
 def test_encoder_scales(cfg):
     enc = ResNetEncoder(18, dtype=jnp.float32)
-    params = enc.init(jax.random.key(0), _img())
-    feats = enc.apply(params, _img())
+    params = jax.jit(enc.init)(jax.random.key(0), _img())
+    feats = jax.jit(enc.apply)(params, _img())
     assert len(feats) == 5
     expect = [(H // 2, W // 2, 64), (H // 4, W // 4, 64), (H // 8, W // 8, 128),
               (H // 16, W // 16, 256), (H // 32, W // 32, 512)]
@@ -36,7 +36,8 @@ def test_encoder_scales(cfg):
 
 def test_encoder_param_count_resnet18_scale(cfg):
     enc = ResNetEncoder(18, dtype=jnp.float32)
-    params = enc.init(jax.random.key(0), _img())
+    # param COUNT is a shape property: eval_shape traces without running
+    params = jax.eval_shape(enc.init, jax.random.key(0), _img())
     n = sum(p.size for p in jax.tree.leaves(params))
     # torchvision resnet18 convs ≈ 11.2 M; ours (GroupNorm affine ≈ BN affine)
     assert 10e6 < n < 13e6, n
@@ -44,7 +45,7 @@ def test_encoder_param_count_resnet18_scale(cfg):
 
 def test_depthnet_multiscale_disp(cfg):
     net = DepthNet(cfg)
-    params = net.init(jax.random.key(0), _img())
+    params = jax.jit(net.init)(jax.random.key(0), _img())
     disps, bottleneck = jax.jit(lambda p, x: net.apply(p, x))(params, _img())
     assert set(disps.keys()) == {0, 1, 2, 3}
     for s, d in disps.items():
@@ -57,7 +58,7 @@ def test_depthnet_multiscale_disp(cfg):
 
 def test_posenet_shapes_and_scale(cfg):
     net = PoseNet(dcdp_fusion=False, dtype=jnp.float32)
-    params = net.init(jax.random.key(0), _img(), _img())
+    params = jax.jit(net.init)(jax.random.key(0), _img(), _img())
     aa, tr = jax.jit(lambda p, a, b: net.apply(p, a, b))(params, _img(), _img())
     assert aa.shape == (2, 3) and tr.shape == (2, 3)
     # 0.01 scaling keeps init-time poses near identity
@@ -70,7 +71,9 @@ def colvo_model(cfg):
     model = ColVOModel(cfg)
     rng = np.random.default_rng(1)
     frames = jnp.asarray(rng.random((2, 3, H, W, 3)).astype(np.float32))
-    params = model.init(jax.random.key(0), frames)
+    # jitted init: eager per-op dispatch costs ~7x a cold compile+run of
+    # the same graph on CPU (measured in tests/test_losses.py setup)
+    params = jax.jit(model.init)(jax.random.key(0), frames)
     return model, params, frames
 
 
@@ -96,7 +99,8 @@ def test_colvo_model_forward_and_grads(cfg, colvo_model):
 def test_dcdp_fusion_changes_pose(cfg, colvo_model):
     """Coupling test: with fusion on, pose output depends on depth features."""
     model, params, frames = colvo_model
-    _, poses_a = model.apply(params, frames)
+    apply = jax.jit(model.apply)
+    _, poses_a = apply(params, frames)
     # perturb only the depth encoder params; pose must change iff fused
     import flax
 
@@ -106,7 +110,7 @@ def test_dcdp_fusion_changes_pose(cfg, colvo_model):
         for k, v in flat.items()
     }
     params_p = {"params": flax.traverse_util.unflatten_dict(perturbed)}
-    _, poses_b = model.apply(params_p, frames)
+    _, poses_b = apply(params_p, frames)
     assert float(jnp.max(jnp.abs(poses_a - poses_b))) > 1e-7
 
 

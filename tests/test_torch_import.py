@@ -217,7 +217,8 @@ def jax_model_and_params(family):
     enc, dec, pose_enc, pose_dec = family
     cfg = ModelConfig(dtype="float32", norm="none", dcdp_fusion=False)
     model = ColVOModel(cfg)
-    template = model.init(jax.random.key(0), jnp.zeros((1, 2, 64, 96, 3)))
+    template = jax.jit(model.init)(jax.random.key(0),
+                                   jnp.zeros((1, 2, 64, 96, 3)))
     params = import_family_checkpoint(
         template,
         enc.state_dict(),
