@@ -108,6 +108,13 @@ def main():
     # (0.117 of 0.120°/frame) and symmetrization cuts it 2.9x — for the
     # reconstruction artifact, quality outranks the extra pose pass.
     sym = os.environ.get("COLVO_SYM_POSE", "1") == "1"
+    # Capture the link bandwidth alongside the fps so every capture carries
+    # its own denominator (tunnel weather is a measured number, not a
+    # story): fps <= link_h2d_gbps / I420 bytes-per-frame.
+    from bench import bench_link
+
+    link = bench_link()
+    print(f"link: {link}", flush=True)
     t0 = time.time()
     run_vo(runner, iter(frames_u8[:65]), keyframe_every=keyframe_every,
            chunk_size=32, depth_dtype=wire_dt, symmetric_pose=sym)
@@ -246,6 +253,7 @@ def main():
         "fps": round(n_frames / vo_s, 1),
         "compile_s_excluded": round(compile_s, 1),
         "wire": wire_dt,
+        **link,
         "symmetric_pose": sym,
         **{f"raw/{kk}": round(vv, 6) for kk, vv in pose_metrics_raw.items()},
         **{f"refine/{kk}": vv for kk, vv in refine_stats.items()},
@@ -290,7 +298,10 @@ def main():
         + ", ".join(f"{e:.4f}" for e in polyp_err)
         + f" (mean {np.mean(polyp_err):.4f})",
         f"* produced on: {jax.devices()[0].platform} backend, "
-        f"{n_frames / vo_s:.1f} fps VO phase, host RSS {_rss_mb():.0f} MB "
+        f"{n_frames / vo_s:.1f} fps VO phase at link h2d "
+        f"{link['link_h2d_gbps']} / d2h {link['link_d2h_gbps']} GB/s "
+        "(the fps ceiling is the link, not the chip — README perf table), "
+        f"host RSS {_rss_mb():.0f} MB "
         "(bounded by keyframe count, not sequence length)",
         "",
         "![reconstruction](fullcolon_recon.png)",
